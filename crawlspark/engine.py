@@ -1,0 +1,507 @@
+"""The crawl engine — iterated micro-batch rounds (SURVEY.md §3 E1).
+
+One round == one politeness tick == one DataFrame DAG:
+
+  pending → per-domain window-rank quota (K=1 == reference) →
+  pre-fetch gates in the reference's pop order (depth → low-data-similar →
+  error-similar → trap; crawler/worker.py:54-79) → fetch join (the corpus
+  IS the web) → status routing (worker.py:89-107) → parse + min-words +
+  simhash near-dup gates (worker.py:115-137) → link/redirect discovery →
+  vectorized admission (frontier.py:114-155) → state update.
+
+State lives in five DataFrames (pending / completed / bad / fingerprints /
+rules), kept lineage-flat via localCheckpoint per round and committed as
+an icelite snapshot every ``checkpoint_interval`` rounds (resume = load
+the latest snapshot; per-round metrics ride in the snapshot meta —
+north_rule's per-partition lineage + fetch/parse metrics).
+
+Suppression semantics bridge (frozen; SURVEY.md §7 "hard parts"): the
+bad-URL and simhash similarity gates evaluate against state AS OF ROUND
+START — the reference's sequential loop interleaves updates mid-"round",
+the batch engine can't; with K=1/domain/round the observable difference
+is confined to same-round cross-domain discoveries. The conformance
+oracle (crawlspark.oracle) implements the identical round semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlspark.config import CrawlConfig
+from crawlspark.functions import traps
+from crawlspark.functions import urls as U
+from crawlspark.icelite import IceliteCatalog
+from crawlspark.operators import admission as ADM
+from crawlspark.operators import badurls as BAD
+from crawlspark.operators import fetch as FE
+from crawlspark.operators.schedule import schedule_round
+
+FRONTIER_FIELDS = [
+    ("url", T.StringType()),
+    ("url_hash", T.LongType()),
+    ("url_sha", T.StringType()),
+    ("host", T.StringType()),
+    ("registered_domain", T.StringType()),
+    ("path", T.StringType()),
+    ("depth", T.IntegerType()),
+    ("src", T.StringType()),
+    ("discovery_seq", T.LongType()),
+    ("discovered_round", T.IntegerType()),
+    ("status", T.StringType()),
+]
+COMPLETED_EXTRA = [
+    ("completed_round", T.IntegerType()),
+    ("total_words", T.IntegerType()),
+    ("n_distinct_words", T.IntegerType()),
+]
+
+
+def _schema(fields) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+FRONTIER_SCHEMA = _schema(FRONTIER_FIELDS)
+COMPLETED_SCHEMA = _schema(FRONTIER_FIELDS + COMPLETED_EXTRA)
+BAD_SCHEMA = _schema(
+    [
+        ("url", T.StringType()),
+        ("host", T.StringType()),
+        ("kind", T.StringType()),
+        ("sim_tokens", T.ArrayType(T.StringType())),
+    ]
+)
+FP_SCHEMA = _schema([("url_hash", T.LongType()), ("simhash", T.LongType())])
+RULES_SCHEMA = _schema(
+    [
+        ("registered_domain", T.StringType()),
+        ("rule_type", T.StringType()),
+        ("value", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class RoundStats:
+    round_no: int
+    scheduled: int
+    new_urls: int
+    by_status: dict[str, int]
+    seconds: float
+
+
+@dataclass
+class CrawlStats:
+    rounds: list[RoundStats] = field(default_factory=list)
+
+    @property
+    def total_scheduled(self) -> int:
+        return sum(r.scheduled for r in self.rounds)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        corpus_dir: str,
+        state_dir: str,
+        checkpoint_interval: int = 5,
+        pace_wallclock: bool = False,
+    ):
+        self.spark = spark
+        self.config = config
+        self.corpus_dir = corpus_dir
+        self.catalog = IceliteCatalog(state_dir)
+        self.scratch_dir = os.path.join(state_dir, "scratch")
+        os.makedirs(self.scratch_dir, exist_ok=True)
+        self._state_ver: dict[str, int] = {}
+        self.checkpoint_interval = checkpoint_interval
+        self.pace_wallclock = pace_wallclock
+        self.stats = CrawlStats()
+        self._load_corpus()
+
+    # ------------------------------------------------------------------
+    def _load_corpus(self) -> None:
+        s = self.spark
+        pages = s.read.parquet(f"{self.corpus_dir}/pages.parquet")
+        # index the corpus once by the engine's scheme-excluded 64-bit key
+        self.pages = (
+            pages.withColumn(
+                "page_hash", U.url_hash64(U.canonicalize(F.col("canonical_url")))
+            )
+            .select(
+                "page_hash", "status", "redirect_to", "content_type",
+                "content_length", "caption", "out_links", "canonical_url",
+            )
+            .persist()
+        )
+        self.robots_bodies = s.read.parquet(f"{self.corpus_dir}/robots.parquet").select(
+            F.col("domain").alias("registered_domain"), "body"
+        ).persist()
+        self.sitemap_xml = s.read.parquet(f"{self.corpus_dir}/sitemaps.parquet").select(
+            F.col("domain").alias("registered_domain"), "xml"
+        ).persist()
+
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    # -- materialization ------------------------------------------------
+    # Intermediates and state are pinned to Parquet scratch files instead
+    # of localCheckpoint: plans stay flat forever, nothing accumulates in
+    # the session (profiling showed in-session RDD/broadcast buildup
+    # degrading driver planning 20-50x after a few rounds), and every
+    # round boundary is trivially resumable — which is the icelite model
+    # anyway. Scratch from two rounds ago is deleted each round.
+    def _mat(self, df: DataFrame, name: str, single: bool = False) -> DataFrame:
+        path = os.path.join(self.scratch_dir, f"r{self.round_no:06d}", name)
+        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _mat_state(self, df: DataFrame, name: str, single: bool = False) -> DataFrame:
+        """State tables version independently of rounds (a clean table may
+        stay unwritten for many rounds — its files must outlive round
+        scratch GC). Keeps the previous version for in-flight plans and
+        deletes older ones."""
+        import shutil
+
+        ver = self._state_ver.get(name, -1) + 1
+        self._state_ver[name] = ver
+        path = os.path.join(self.scratch_dir, "state", name, f"v{ver:06d}")
+        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(path)
+        old = os.path.join(self.scratch_dir, "state", name, f"v{ver - 2:06d}")
+        shutil.rmtree(old, ignore_errors=True)
+        return self.spark.read.parquet(path)
+
+    def _gc_scratch(self) -> None:
+        import shutil
+
+        old = os.path.join(self.scratch_dir, f"r{self.round_no - 2:06d}")
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    def start(self, resume: bool = False) -> None:
+        snap = self.catalog.latest() if resume else None
+        if snap is not None:
+            ld = lambda n, sch: (
+                self.catalog.load(self.spark, snap, n) or self._empty(sch)
+            )
+            self.pending = ld("pending", FRONTIER_SCHEMA)
+            self.completed = ld("completed", COMPLETED_SCHEMA)
+            self.bad = ld("bad", BAD_SCHEMA)
+            self.fingerprints = ld("fingerprints", FP_SCHEMA)
+            self.rules = ld("rules", RULES_SCHEMA)
+            self.next_seq = int(snap.meta["next_seq"])
+            self.round_no = int(snap.meta["round_no"])
+            return
+        # fresh start: admit seeds (ref crawler/frontier.py:60-67)
+        self.pending = self._empty(FRONTIER_SCHEMA)
+        self.completed = self._empty(COMPLETED_SCHEMA)
+        self.bad = self._empty(BAD_SCHEMA)
+        self.fingerprints = self._empty(FP_SCHEMA)
+        self.rules = self._empty(RULES_SCHEMA)
+        self.next_seq = 0
+        self.round_no = 0
+        # seed order must be the config order (deterministic), so enumerate
+        # driver-side rather than relying on partition-dependent ids
+        import pyarrow.parquet as pq
+
+        seed_urls = pq.read_table(f"{self.corpus_dir}/seeds.parquet").column("url").to_pylist()
+        cands = self.spark.createDataFrame(
+            [(u, 0, "seed", -1, i, 0) for i, u in enumerate(seed_urls)],
+            ["raw_url", "depth", "src", "parent_seq", "link_pos", "sub_pos"],
+        ).withColumn("parent_seq", F.col("parent_seq").cast("long"))
+        self._admit(cands)
+        self._checkpoint_state()
+
+    # ------------------------------------------------------------------
+    def _seen_keys(self) -> DataFrame:
+        return self.pending.select("url_hash").union(self.completed.select("url_hash"))
+
+    def _admit(self, candidates: DataFrame) -> int:
+        # unique scratch name per materialization within this round —
+        # admission's fixpoint loop must never overwrite a path an earlier
+        # returned DataFrame still reads from
+        cnt = [0]
+
+        def mat(df: DataFrame, name: str) -> DataFrame:
+            cnt[0] += 1
+            return self._mat(df, f"{name}_{cnt[0]}")
+
+        res = ADM.admit(
+            self.spark,
+            candidates,
+            mat,
+            self._seen_keys(),
+            self.rules,
+            self.robots_bodies,
+            self.sitemap_xml,
+            self.config,
+            self.next_seq,
+            self.round_no,
+        )
+        if res.new_rows is None:
+            return 0
+        rows = res.new_rows
+        n = rows.count()
+        self.next_seq += n
+        new_pending = rows.filter(F.col("status") == "pending")
+        blocked = rows.filter(F.col("status") == "robots_blocked")
+        self.pending = self.pending.unionByName(new_pending)
+        self.completed = self.completed.unionByName(
+            blocked.withColumns(
+                {
+                    "completed_round": F.lit(None).cast("int"),
+                    "total_words": F.lit(None).cast("int"),
+                    "n_distinct_words": F.lit(None).cast("int"),
+                }
+            )
+        )
+        if res.new_rules is not None:
+            self.rules = self.rules.unionByName(res.new_rules)
+            self._rules_dirty = True
+        return n
+
+    def _checkpoint_state(self) -> None:
+        self.pending = self._mat_state(self.pending, "pending")
+        self.completed = self._mat_state(self.completed, "completed")
+        if getattr(self, "_bad_dirty", True):
+            self.bad = self._mat_state(self.bad, "bad", single=True)
+            self._bad_dirty = False
+        if getattr(self, "_fp_dirty", True):
+            self.fingerprints = self._mat_state(self.fingerprints, "fp", single=True)
+            self._fp_dirty = False
+        if getattr(self, "_rules_dirty", True):
+            self.rules = self._mat_state(self.rules, "rules", single=True)
+            self._rules_dirty = False
+
+    def _commit_snapshot(self) -> None:
+        self.catalog.commit(
+            {
+                "pending": self.pending,
+                "completed": self.completed,
+                "bad": self.bad,
+                "fingerprints": self.fingerprints,
+                "rules": self.rules,
+            },
+            meta={
+                "next_seq": self.next_seq,
+                "round_no": self.round_no,
+                "rounds": [
+                    {
+                        "round": r.round_no,
+                        "scheduled": r.scheduled,
+                        "new_urls": r.new_urls,
+                        "by_status": r.by_status,
+                        "seconds": r.seconds,
+                    }
+                    for r in self.stats.rounds[-self.checkpoint_interval :]
+                ],
+            },
+        )
+
+    # ------------------------------------------------------------------
+    def run_round(self) -> bool:
+        t0 = time.monotonic()
+        import os as _os
+
+        _dbg = _os.environ.get("CRAWLSPARK_DEBUG_TIMING")
+        _last = [t0]
+
+        def _mark(label: str) -> None:
+            if _dbg:
+                now = time.monotonic()
+                print(f"    [{self.round_no}] {label}: {now - _last[0]:.1f}s", flush=True)
+                _last[0] = now
+
+        cfg = self.config
+        self.round_no += 1
+
+        sched = self._mat(
+            schedule_round(self.pending, cfg.per_domain_quota), "sched", single=True
+        )
+        n_sched = sched.count()
+        _mark("schedule")
+        if n_sched == 0:
+            self.round_no -= 1
+            return False
+
+        s = sched.withColumn("sim_tokens", BAD.sim_tokens(F.col("url")))
+
+        # pop-order gates (worker.py:54-79), against round-start bad state.
+        # One broadcast join covers both bad-URL kinds; flags per url.
+        depth_ok = F.col("depth") <= cfg.max_depth
+        rest = s.filter(depth_ok)
+        hits = self._mat(
+            BAD.similarity_hits(
+                rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count
+            )
+            .groupBy("url")
+            .agg(
+                F.max(F.col("kind") == "low_data").alias("low_hit"),
+                F.max(F.col("kind") == "error").alias("err_hit"),
+            ),
+            "hits",
+            single=True,
+        )
+        _mark("hits")
+        fetchable = rest.join(hits, "url", "left_anti").filter(
+            ~traps.is_trap(F.col("url"))
+        )
+
+        # fused fetch + route + simhash + near-dup verdict → ONE scratch file
+        routed0 = FE.fetch_and_route(fetchable, self.pages, cfg)
+        sh = FE.batch_simhash(routed0.filter(F.col("route") == "parse"))
+        nd = FE.neardup_hits(sh, self.fingerprints, cfg.simhash_max_hamming)
+        routed = self._mat(
+            routed0.join(sh, "url_hash", "left").join(
+                nd.withColumn("_nd", F.lit(True)), "url_hash", "left"
+            ),
+            "routed",
+            single=True,
+        )
+        _mark("routed")
+
+        # terminal statuses for every scheduled row (the reference marks
+        # every popped URL complete)
+        base = s.drop("sim_tokens")
+        statused = (
+            base.join(hits, "url", "left")
+            .join(
+                routed.select(
+                    "url_hash", "route", "total_words", "n_distinct_words", "_nd"
+                ),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "status",
+                F.when(~depth_ok, "depth_skip")
+                .when(F.col("low_hit"), "lowdata_similar_skip")
+                .when(F.col("err_hit"), "error_similar_skip")
+                .when(F.col("route").isNull(), "trap_skip")
+                .when((F.col("route") == "parse") & F.col("_nd"), "neardup")
+                .when(F.col("route") == "parse", "parsed")
+                .otherwise(F.col("route")),
+            )
+            .withColumn("completed_round", F.lit(self.round_no))
+            .select(*[n for n, _ in FRONTIER_FIELDS + COMPLETED_EXTRA])
+        )
+        statused = self._mat(statused, "statused", single=True)
+        by_status = {
+            r["status"]: r["cnt"]
+            for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+        }
+        _mark("statused")
+
+        # state deltas ------------------------------------------------
+        n_bad = sum(
+            v for k, v in by_status.items()
+            if k in ("lowdata_similar_skip", "error_similar_skip", "low_data")
+        ) + by_status.get("error", 0)
+        if n_bad:
+            err_hash = routed.filter(
+                (F.col("route") == "error") & (F.col("http_status") >= 400)
+            ).select("url_hash")
+            low_hash = routed.filter(F.col("route") == "low_data").select("url_hash")
+            new_bad = (
+                s.join(statused.filter(F.col("status") == "lowdata_similar_skip")
+                       .select("url_hash"), "url_hash", "left_semi")
+                .unionByName(s.join(low_hash, "url_hash", "left_semi"))
+                .select("url", "host", F.lit("low_data").alias("kind"), "sim_tokens")
+                .unionByName(
+                    s.join(statused.filter(F.col("status") == "error_similar_skip")
+                           .select("url_hash"), "url_hash", "left_semi")
+                    .unionByName(s.join(err_hash, "url_hash", "left_semi"))
+                    .select("url", "host", F.lit("error").alias("kind"), "sim_tokens")
+                )
+            )
+            self.bad = self.bad.unionByName(new_bad)
+            self._bad_dirty = True
+        n_fp = by_status.get("parsed", 0) + by_status.get("neardup", 0)
+        if n_fp:
+            self.fingerprints = self.fingerprints.unionByName(
+                routed.filter(F.col("route") == "parse").select("url_hash", "simhash")
+            )
+            self._fp_dirty = True
+
+        # discovery ----------------------------------------------------
+        parsed_final = statused.filter(F.col("status") == "parsed").select(
+            "url", "url_hash", "depth", "discovery_seq"
+        ).join(routed.select("url_hash", "out_links"), "url_hash")
+        links = parsed_final.select(
+            F.posexplode("out_links").alias("link_pos", "href"),
+            F.col("url").alias("base"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("discovery_seq").alias("parent_seq"),
+        ).select(
+            U.resolve_href(F.col("base"), F.col("href")).alias("raw_url"),
+            "depth",
+            F.lit("link").alias("src"),
+            "parent_seq",
+            "link_pos",
+            F.lit(0).alias("sub_pos"),
+        )
+        redirects = routed.filter(
+            (F.col("route") == "redirect") & F.col("redirect_to").isNotNull()
+        ).select(
+            F.col("redirect_to").alias("raw_url"),
+            "depth",  # redirects keep depth (worker.py:94)
+            F.lit("redirect").alias("src"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.lit(0).alias("link_pos"),
+            F.lit(0).alias("sub_pos"),
+        )
+        candidates = redirects.unionByName(links)
+
+        # frontier update: scheduled rows leave pending, discoveries enter
+        self.pending = self.pending.join(
+            sched.select("url_hash"), "url_hash", "left_anti"
+        )
+        self.completed = self.completed.unionByName(statused)
+        _mark("pending_update")
+        n_new = (
+            self._admit(candidates)
+            if by_status.get("parsed", 0) + by_status.get("redirect", 0) > 0
+            else 0
+        )
+        _mark("admit")
+        self._checkpoint_state()
+        _mark("ckpt_state")
+
+        dt = time.monotonic() - t0
+        self.stats.rounds.append(
+            RoundStats(self.round_no, n_sched, n_new, by_status, dt)
+        )
+        if self.round_no % self.checkpoint_interval == 0:
+            self._commit_snapshot()
+        if self.pace_wallclock:
+            time.sleep(max(0.0, cfg.politeness_delay_s - dt))
+        self._gc_scratch()
+        return True
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> CrawlStats:
+        limit = max_rounds or self.config.max_rounds or 10**9
+        while len(self.stats.rounds) < limit:
+            if not self.run_round():
+                break
+        self._commit_snapshot()
+        return self.stats
+
+    # all frontier rows ever admitted (for reports)
+    def all_rows(self) -> DataFrame:
+        return self.pending.withColumns(
+            {
+                "completed_round": F.lit(None).cast("int"),
+                "total_words": F.lit(None).cast("int"),
+                "n_distinct_words": F.lit(None).cast("int"),
+            }
+        ).unionByName(self.completed)

@@ -1,0 +1,119 @@
+"""icelite — Iceberg-semantics snapshot layer over partitioned Parquet.
+
+The sandbox has no Iceberg runtime (SURVEY.md §4.4), so the engine's
+checkpoint/resume contract is implemented directly:
+
+- a *snapshot* = one immutable manifest JSON naming, per table, the data
+  files written for that commit plus per-partition row counts (lineage /
+  fetch-parse metrics live in ``meta``);
+- commits are atomic: data files land first, the manifest is written to a
+  temp file and ``os.replace``d, then the ``_current`` pointer is
+  ``os.replace``d — readers only ever follow ``_current`` → manifest →
+  files, so a crash mid-commit leaves the previous snapshot intact;
+- rollback = point ``_current`` at an older manifest (kept forever here;
+  a real deployment would GC).
+
+On a cluster with a real Iceberg catalog the engine's state tables bind
+to ``spark.read.format('iceberg')`` instead — this module is deliberately
+interface-shaped (commit / latest / load) for that swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    tables: dict[str, dict[str, Any]]
+    meta: dict[str, Any]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "tables": self.tables,
+                "meta": self.meta,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+
+class IceliteCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- read side ----------------------------------------------------
+    def latest(self) -> Snapshot | None:
+        cur = os.path.join(self.root, "_current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            manifest_path = f.read().strip()
+        with open(os.path.join(self.root, manifest_path)) as f:
+            d = json.load(f)
+        return Snapshot(d["snapshot_id"], d["parent_id"], d["tables"], d["meta"])
+
+    def load(self, spark: SparkSession, snapshot: Snapshot, name: str) -> DataFrame | None:
+        info = snapshot.tables.get(name)
+        if info is None or info["rows"] == 0:
+            return None
+        return spark.read.parquet(os.path.join(self.root, info["path"]))
+
+    # -- write side ---------------------------------------------------
+    def commit(
+        self,
+        dfs: dict[str, DataFrame | None],
+        meta: dict[str, Any],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> Snapshot:
+        parent = self.latest()
+        sid = (parent.snapshot_id + 1) if parent else 0
+        tables: dict[str, dict[str, Any]] = {}
+        for name, df in dfs.items():
+            rel = os.path.join("data", f"snap-{sid:06d}", name)
+            path = os.path.join(self.root, rel)
+            rows = 0
+            files: list[dict[str, Any]] = []
+            if df is not None:
+                writer = df.write.mode("overwrite")
+                pby = (partition_by or {}).get(name)
+                if pby:
+                    writer = writer.partitionBy(*pby)
+                writer.parquet(path)
+                for dirpath, _, fnames in os.walk(path):
+                    for fn in fnames:
+                        if fn.endswith(".parquet"):
+                            fp = os.path.join(dirpath, fn)
+                            files.append(
+                                {
+                                    "file": os.path.relpath(fp, self.root),
+                                    "bytes": os.path.getsize(fp),
+                                }
+                            )
+                rows = df.sparkSession.read.parquet(path).count() if files else 0
+            tables[name] = {"path": rel, "rows": rows, "files": files}
+        snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
+
+        mrel = os.path.join("manifests", f"snapshot-{sid:06d}.json")
+        mpath = os.path.join(self.root, mrel)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(self.root, "_current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(mrel)
+        os.replace(cur_tmp, os.path.join(self.root, "_current"))
+        return snap

@@ -1,0 +1,131 @@
+"""Fetch + status routing + parse (S2, F4/F5/F9, P1-P3, E3 in SURVEY.md).
+
+In the sandbox the corpus IS the web: "fetching" a scheduled batch is a
+hash join against the pages table on the scheme-excluded 64-bit URL key
+(ref download() utils/download.py:7-48 → here a join; the scheduled batch
+is the small side → broadcast into the pages scan, no pages shuffle).
+
+Status routing reproduces crawler/worker.py:89-146:
+  no corpus row        → 'fetch_error'   (download exception path)
+  300-399              → 'redirect'      (Location re-enters admission at
+                                          the SAME depth, worker.py:94)
+  status != 200        → 'error'         (error_urls memory if >= 400)
+  empty body           → 'empty'
+  Content-Length > 10MB → 'skipped_large' (scraper.py:28-30 — no parse)
+  not text/html        → 'skipped_type'  (scraper.py:32-33 — no parse)
+  parsed, <30 DISTINCT non-stopword tokens → 'low_data' (worker.py:122-127;
+        note len(Counter) = distinct count, not total)
+  parsed, simhash within Hamming 3 of a prior fingerprint → 'neardup'
+        (fingerprint still recorded, worker.py:129-137)
+  else                 → 'parsed' (words counted, links extracted)
+"""
+
+from __future__ import annotations
+
+import re as _re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, StringType
+
+from crawlspark.config import CrawlConfig
+from crawlspark.functions import simhash as SH
+from crawlspark.functions import text as X
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("url_hash", LongType()), StructField("simhash", LongType())]
+)
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """simhash over the stopword-FILTERED token counter (the reference
+    fingerprints count_words output, which excludes stopwords —
+    tests/worker_test.py:123-126)."""
+    splitter = _re.compile(X.TOKEN_SPLIT_REGEX)
+    stop = set(X.STOPWORDS)
+    for pdf in batches:
+        out = np.zeros(len(pdf), dtype=np.int64)
+        for i, t in enumerate(pdf["caption"]):
+            counts: dict[str, int] = {}
+            for tok in splitter.split((t or "").lower()):
+                if tok and tok not in stop:
+                    counts[tok] = counts.get(tok, 0) + 1
+            out[i] = SH.simhash_counter(counts)
+        yield pd.DataFrame({"url_hash": pdf["url_hash"], "simhash": out})
+
+
+def fetch_and_route(scheduled: DataFrame, pages: DataFrame, config: CrawlConfig) -> DataFrame:
+    """Join the scheduled batch to the corpus and compute the routing
+    verdict. Returns scheduled ∪ page columns + `route` + parse outputs
+    (n_distinct_words, total_words, simhash joined separately)."""
+    page_cols = pages.select(
+        F.col("page_hash").alias("url_hash"),
+        F.col("status").alias("http_status"),
+        "redirect_to", "content_type", "content_length", "caption", "out_links",
+    )
+    joined = scheduled.join(page_cols, "url_hash", "left")
+
+    ctoks = X.content_tokens(F.col("caption"))
+    parsedable = (
+        F.col("http_status").isNotNull()
+        & (F.col("http_status") == 200)
+        & (F.col("content_length") > 0)
+        & (F.col("content_length") <= config.max_content_length)
+        & F.col("content_type").contains("text/html")
+    )
+    routed = joined.withColumn(
+        "route",
+        F.when(F.col("http_status").isNull(), "fetch_error")
+        .when(F.col("http_status").between(300, 399), "redirect")
+        .when(F.col("http_status") != 200, "error")
+        .when(F.col("content_length") == 0, "empty")
+        .when(F.col("content_length") > config.max_content_length, "skipped_large")
+        .when(~F.col("content_type").contains("text/html"), "skipped_type")
+        .otherwise("parse"),
+    ).withColumn(
+        "n_distinct_words", F.when(parsedable, F.size(F.array_distinct(ctoks)))
+    ).withColumn(
+        "total_words", F.when(parsedable, F.size(ctoks))
+    )
+    # low-data verdict (distinct-count threshold) folds into the route
+    routed = routed.withColumn(
+        "route",
+        F.when(
+            (F.col("route") == "parse")
+            & (F.col("n_distinct_words") < config.min_words),
+            "low_data",
+        ).otherwise(F.col("route")),
+    )
+    return routed
+
+
+def batch_simhash(parse_rows: DataFrame) -> DataFrame:
+    """(url_hash, simhash) for rows routed 'parse' (Arrow pandas UDF)."""
+    return parse_rows.select("url_hash", "caption").mapInPandas(
+        _simhash_batches, _SIMHASH_SCHEMA
+    )
+
+
+def with_simhash(parse_rows: DataFrame) -> DataFrame:
+    """Attach the content fingerprint to rows routed 'parse' (Arrow UDF)."""
+    sh = parse_rows.select("url_hash", "caption").mapInPandas(
+        _simhash_batches, _SIMHASH_SCHEMA
+    )
+    return parse_rows.join(sh, "url_hash")
+
+
+def neardup_hits(batch_fp: DataFrame, state_fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """url_hash of batch pages whose simhash is within ``max_hamming`` of
+    any fingerprint in the round-start state (worker.py:129-137; the batch
+    side is tiny → its banded form broadcasts into the state scan)."""
+    b = SH.with_bands(batch_fp.select(F.col("url_hash").alias("b_key"), F.col("simhash").alias("b_sim")), "b_sim")
+    s = SH.with_bands(state_fp.select(F.col("simhash").alias("s_sim")), "s_sim")
+    return (
+        s.join(F.broadcast(b), ["band_id", "band_val"])
+        .filter(SH.hamming64(F.col("b_sim"), F.col("s_sim")) <= max_hamming)
+        .select(F.col("b_key").alias("url_hash"))
+        .distinct()
+    )

