@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity /
+text analysis / payload), each runnable on the driver's testdata tables;
+``oracle_sql()`` carries the exact DuckDB twin. Column names and value
+rounding are aligned on both sides; the shared deterministic hash is
+``int(md5(x)[:15], 16)`` (Spark: conv(substring(md5(x),1,15),16,10);
+DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+
+Queries that are not ANSI-SQL-expressible (pandas-UDF payload decode,
+hyperplane ANN) omit the oracle → rows-only check, as the contract
+allows. The crawl engine itself (politeness rounds, admission, icelite
+resume) is conformance-tested against a pure-Python oracle in
+tests/test_conformance.py — its report queries appear here in their
+relational form (quota ranking, subdomain counts, top-words, longest
+page, anti-join seen-set).
 """
 
 from __future__ import annotations
@@ -12,27 +22,807 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawlspark.functions import text as X
+from crawlspark.functions import traps as TR
+from crawlspark.functions import urls as U
+from crawlspark.operators import dedup as DD
+from crawlspark.operators import similarity as SIM
+
+STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+TOK_SQL = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# synthetic URL column shared by the URL-operator queries (same expression
+# on both engines, built from documents columns only)
+# --------------------------------------------------------------------------
+
+def _url_expr_spark(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/wiki/doc"), d.cast("string"),
+        F.when(d % 7 == 0, F.lit("/x/y/x/y/x")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("?utm_source=t&b=2")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_EXPR_SQL = """
+  select doc_id,
+    (case when doc_id % 2 = 0 then 'https://' else 'http://' end)
+    || (case when doc_id % 5 = 0 then 'www.' else '' end)
+    || source || '.example.com/wiki/doc' || doc_id::VARCHAR
+    || (case when doc_id % 7 = 0 then '/x/y/x/y/x' else '' end)
+    || (case when doc_id % 11 = 0 then '?utm_source=t&b=2' else '' end)
+    || (case when doc_id % 3 = 0 then '/' else '' end)
+    || (case when doc_id % 13 = 0 then '#frag' else '' end) as url
+  from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4)
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li.select("l_orderkey"),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_never_ordered_parts(spark, sf_dir):
+    """Seen-set anti-join (F11 analog): parts with no lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li.select("l_partkey"), part["p_partkey"] == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_unseen"))
+        .orderBy("p_brand")
+    )
+
+
+def q_politeness_quota(spark, sf_dir):
+    """Window-rank quota (SURVEY §2.9): first K=2 docs per source."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+def q_frontier_head(spark, sf_dir):
+    """K=1 politeness pick over the events 'frontier' (per-user head)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    )
+
+
+def q_subdomain_counts(spark, sf_dir):
+    """Crawl report #4 analog (SURVEY §2.11)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("unique_docs"))
+        .orderBy("source")
+    )
+
+
+def q_top50_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.content_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+def q_longest_doc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.token_count(F.col("text")).cast("long").alias("total_words"))
+        .orderBy(F.col("total_words").desc(), F.col("doc_id").asc())
+        .limit(1)
+    )
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.char_shingle_fingerprint(F.col("text"), 8).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dup_groups(_t(spark, sf_dir, "documents"), "text").orderBy("text_hash")
+
+
+def q_dedup_prefix(spark, sf_dir):
+    return DD.prefix_fingerprint_groups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 2
+    ).orderBy("prefix_hash")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", DD.simhash60(F.col("text")).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return DD.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.45
+    ).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN (hyperplane LSH buckets + exact re-rank) — pandas
+    UDF sketches, no SQL oracle (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_hyperplane_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bits=10, n_tables=6
+    ).orderBy("query_id", "rank")
+
+
+def q_payload_phash(spark, sf_dir):
+    """Multimodal payload plumbing on testdata: deterministic image per
+    doc_id (encode → binary column → Arrow decode → phash). No SQL oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark.functions import images as I
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("psnr_ok", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                fmt = fmts[int(did) % len(fmts)]
+                px = I.pixels_for_id(f"doc{int(did)}", 16, 16)
+                data = I.encode_image(px, fmt)
+                back = I.decode_image(data, fmt, 16, 16)
+                p = I.psnr(px, back)
+                rows.append(
+                    (int(did), fmt, I.average_hash64(back), bool(p >= 40.0 or p == float("inf")))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "phash", "psnr_ok"])
+
+    return docs.mapInPandas(gen, schema).orderBy("doc_id")
+
+
+def q_windowed_events(spark, sf_dir):
+    """Tumbling-window aggregation (Structured-Streaming shape, batch run)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag window + cumulative sum)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_status_routing(spark, sf_dir):
+    """when/otherwise status router (F9 analog) over events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "route",
+            F.when(F.col("value") < 0, "error")
+            .when(F.col("event_type") == "click", "follow")
+            .when(F.col("event_type") == "view", "record")
+            .otherwise("skip"),
+        )
+        .groupBy("route")
+        .agg(F.count("*").alias("n"))
+        .orderBy("route")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """P4-P7 over synthesized URLs: canonical form + decomposition + key."""
+    docs = _t(spark, sf_dir, "documents")
+    u = _url_expr_spark(docs)
+    canon = U.canonicalize(F.col("url"))
+    return u.select(
+        "doc_id",
+        canon.alias("canon"),
+        U.hostname(canon).alias("host"),
+        U.registered_domain(U.hostname(canon), is_host=True).alias("reg_domain"),
+        U.path(canon).alias("path"),
+        F.md5(U.canonical_key(canon)).alias("seen_key"),
+    ).orderBy("doc_id")
+
+
+def q_trap_filter(spark, sf_dir):
+    """Frozen trap spec (SURVEY §2.7) over synthesized URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    u = _url_expr_spark(docs)
+    return u.select(
+        "doc_id", TR.trap_pattern(F.col("url")).alias("trap")
+    ).filter(F.col("trap").isNotNull()).orderBy("doc_id")
+
+
+def q_robots_gate(spark, sf_dir):
+    """Allow-overrides-disallow robots gate (F6) as a relational join."""
+    docs = _t(spark, sf_dir, "documents")
+    nations = _t(spark, sf_dir, "nation")
+    cand = docs.select(
+        F.col("doc_id").alias("url_hash"),
+        (F.col("doc_id") % 25).cast("int").alias("nkey"),
+        F.concat(
+            F.lit("/n"), (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/pub")).otherwise(F.lit("")),
+            F.lit("/d"), F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = nations.select(
+        F.col("n_nationkey").alias("nkey"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("disallow").alias("rule_type"),
+                    F.concat(F.lit("/n"), F.col("n_nationkey").cast("string"), F.lit("/")).alias("value"),
+                ),
+                F.struct(
+                    F.lit("allow").alias("rule_type"),
+                    F.concat(F.lit("/n"), F.col("n_nationkey").cast("string"), F.lit("/pub")).alias("value"),
+                ),
+            )
+        ).alias("r"),
+    ).select(F.col("r.rule_type").alias("rule_type"), F.col("r.value").alias("value"))
+    # every nation's rules apply only to its own /n{k}/ prefix, so a global
+    # rules table works — same shape as crawlspark.operators.robots.robots_gate
+    hit = F.col("path").startswith(F.col("value"))
+    verdict = (
+        cand.join(F.broadcast(rules), hit, "left")
+        .groupBy("url_hash")
+        .agg(
+            F.max(F.when(F.col("rule_type") == "disallow", 1).otherwise(0)).alias("dis"),
+            F.max(F.when(F.col("rule_type") == "allow", 1).otherwise(0)).alias("alw"),
+        )
+        .withColumn("allowed", (F.col("dis") == 0) | (F.col("alw") == 1))
+    )
+    return verdict.select(
+        F.col("url_hash").alias("doc_id"), "allowed"
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl admission pipeline (canonicalize → validate →
+    trap gate → dedup-by-seen-key → per-domain window-rank politeness
+    quota) over URLs synthesized from sf0.001 documents — the heart of the
+    engine as one declarative DataFrame."""
+    from pyspark.sql import Window
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    u = _url_expr_spark(docs)
+    canon = U.canonicalize(F.col("url"))
+    keyed = u.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        U.url_hash64(canon).alias("url_hash"),
+        U.hostname(canon).alias("host"),
+        U.registered_domain(U.hostname(canon), is_host=True).alias("reg_domain"),
+        TR.trap_pattern(F.col("url")).alias("trap"),
+    ).filter(F.col("trap").isNull())
+    # quota per host here (the synthetic URLs all share eTLD+1
+    # 'example.com'; the real engine keys on registered_domain)
+    w_dedup = Window.partitionBy("url_hash").orderBy("doc_id")
+    w_quota = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        keyed.withColumn("occ", F.row_number().over(w_dedup))
+        .filter(F.col("occ") == 1)
+        .withColumn("rn", F.row_number().over(w_quota))
+        .filter(F.col("rn") <= 3)
+        .select("reg_domain", "host", "canon_url", "url_hash", "rn")
+        .orderBy("reg_domain", "rn")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "order_priority": q_order_priority,
+        "never_ordered_parts": q_never_ordered_parts,
+        "politeness_quota": q_politeness_quota,
+        "frontier_head": q_frontier_head,
+        "subdomain_counts": q_subdomain_counts,
+        "top50_words": q_top50_words,
+        "longest_doc": q_longest_doc,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "payload_phash": q_payload_phash,
+        "windowed_events": q_windowed_events,
+        "sessionize": q_sessionize,
+        "status_routing": q_status_routing,
+        "url_canonicalize": q_url_canonicalize,
+        "trap_filter": q_trap_filter,
+        "robots_gate": q_robots_gate,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _simhash60_sql() -> str:
+    """Generated 60-term simhash60 twin (see operators/dedup.py)."""
+    pairs = (
+        "list_transform(list_distinct(toks), t -> "
+        "{'h': ('0x'||substr(md5(t),1,15))::BIGINT, "
+        "'c': len(list_filter(toks, x -> x = t))})"
+    )
+    bit_terms = " + ".join(
+        f"(case when list_sum(list_transform(pairs, p -> "
+        f"case when (p.h >> {i}) & 1 = 1 then p.c else -p.c end)) > 0 "
+        f"then {2**i}::BIGINT else 0::BIGINT end)"
+        for i in range(60)
+    )
+    return f"""
+      with toksrc as (
+        select doc_id, {TOK_SQL.format(c='text')} as toks from documents
+      ), prs as (
+        select doc_id, {pairs} as pairs from toksrc
+      ), fps as (
+        select doc_id, ({bit_terms}) as fp from prs
+      )
+      select a.doc_id as id_a, b.doc_id as id_b,
+             bit_count(xor(a.fp, b.fp))::BIGINT as hamming
+      from fps a join fps b on a.doc_id < b.doc_id
+      where bit_count(xor(a.fp, b.fp)) <= 8
+      order by id_a, id_b
     """
-    return {}
+
+
+def _jaccard_sql(threshold: float) -> str:
+    shingles = (
+        "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "for i in range(1, greatest(len(l)-2, 0)+1)]) "
+        f"from (select {TOK_SQL.format(c='text')} as l) _)"
+    )
+    return f"""
+      with sh0 as (select doc_id, {shingles} as shs from documents),
+      ex as (select doc_id, unnest(shs) as sh from sh0),
+      sz as (select doc_id, len(shs) as sz from sh0),
+      inter as (
+        select a.doc_id ia, b.doc_id ib, count(*) c
+        from ex a join ex b on a.sh = b.sh and a.doc_id < b.doc_id
+        group by 1, 2
+      )
+      select ia as id_a, ib as id_b,
+             round(c * 1.0 / (sa.sz + sb.sz - c), 6) as jaccard
+      from inter
+      join sz sa on sa.doc_id = ia
+      join sz sb on sb.doc_id = ib
+      where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
+      order by id_a, id_b
+    """
+
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+_LANG_SCORE = {
+    code: "len(list_filter(toks, t -> t in ({})))".format(
+        ", ".join(f"'{w}'" for w in X.LANG_MARKERS[code])
+    )
+    for code in sorted(X.LANG_MARKERS)
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp_list = (
+        "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
+        "i -> ('0x'||substr(md5(substr(t, i::INT, 8)),1,15))::BIGINT))"
+    )
+    minhash_sig = ", ".join(
+        "list_min(list_transform(shs, s -> ('0x'||substr(md5(s || '#{i}'),1,15))::BIGINT))".format(i=i)
+        for i in range(DD.MINHASH_K)
+    )
+    shingles = (
+        "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "for i in range(1, greatest(len(l)-2, 0)+1)]) "
+        f"from (select {TOK_SQL.format(c='text')} as l) _)"
+    )
+    return {
+        "pricing_summary": """
+          select l_returnflag, l_linestatus,
+            (sum(l_quantity::DECIMAL(18,4)))::DOUBLE as sum_qty,
+            (sum(l_extendedprice::DECIMAL(18,4)))::DOUBLE as sum_base_price,
+            (sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE as sum_disc_price,
+            count(*) as count_order,
+            round((sum(l_quantity::DECIMAL(18,4)))::DOUBLE / count(*), 4) as avg_qty
+          from lineitem where l_shipdate <= '1997-09-02'
+          group by l_returnflag, l_linestatus
+          order by l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+          select o_orderkey,
+            (sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE as revenue
+          from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          where c_mktsegment = 'BUILDING'
+          group by o_orderkey
+          order by revenue desc, o_orderkey asc
+          limit 10
+        """,
+        "order_priority": """
+          select o_orderpriority, count(*) as order_count
+          from orders
+          where exists (select 1 from lineitem where l_orderkey = o_orderkey)
+          group by o_orderpriority order by o_orderpriority
+        """,
+        "never_ordered_parts": """
+          select p_brand, count(*) as n_unseen
+          from part
+          where not exists (select 1 from lineitem where l_partkey = p_partkey)
+          group by p_brand order by p_brand
+        """,
+        "politeness_quota": """
+          select source, doc_id, rn from (
+            select source, doc_id,
+                   row_number() over (partition by source order by doc_id) as rn
+            from documents)
+          where rn <= 2 order by source, rn
+        """,
+        "frontier_head": """
+          select user_id, event_id from (
+            select user_id, event_id,
+                   row_number() over (partition by user_id order by ts, event_id) as rn
+            from events)
+          where rn = 1 order by user_id
+        """,
+        "subdomain_counts": """
+          select source, count(distinct doc_id) as unique_docs
+          from documents group by source order by source
+        """,
+        "top50_words": f"""
+          select word, count(*) as cnt from (
+            select unnest({TOK_SQL.format(c='text')}) as word from documents)
+          where word not in ({STOP_SQL})
+          group by word order by cnt desc, word asc limit 50
+        """,
+        "longest_doc": f"""
+          select doc_id, len({TOK_SQL.format(c='text')}) as total_words
+          from documents order by total_words desc, doc_id asc limit 1
+        """,
+        "token_count": f"""
+          select doc_id, len({TOK_SQL.format(c='text')}) as n_tokens
+          from documents order by doc_id
+        """,
+        "lang_id": f"""
+          select doc_id,
+            case when greatest(s_de, s_en, s_es, s_fr) = 0 then 'und'
+                 when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+                 when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+                 when s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+                 else 'fr' end as lang_pred
+          from (
+            select doc_id,
+              {', '.join(f"{expr} as s_{c}" for c, expr in _LANG_SCORE.items())}
+            from (select doc_id, {TOK_SQL.format(c='text')} as toks from documents))
+          order by doc_id
+        """,
+        "quality_score": f"""
+          select doc_id,
+            round(0.4 * least(1.0, n_tok / 100.0)
+              + 0.3 * (case when n_tok > 0 then n_stop * 1.0 / n_tok else 0.0 end)
+              + 0.3 * (1.0 - (case when len_t > 0 then n_punct * 1.0 / len_t else 0.0 end)), 6) as quality
+          from (
+            select doc_id,
+              len({TOK_SQL.format(c='text')}) as n_tok,
+              len(list_filter({TOK_SQL.format(c='text')}, t -> t in ({STOP_SQL}))) as n_stop,
+              length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) as n_punct,
+              length(text) as len_t
+            from documents)
+          order by doc_id
+        """,
+        "doc_fingerprint": f"""
+          select doc_id, {fp_list} as fingerprint
+          from (select doc_id, lower(text) as t from documents)
+          order by doc_id
+        """,
+        "dedup_exact": """
+          select md5(text) as text_hash, count(*) as n_dups
+          from documents group by 1 having count(*) > 1 order by text_hash
+        """,
+        "dedup_prefix": f"""
+          select md5(concat_ws(' ', l[1], l[2])) as prefix_hash,
+                 count(*) as n_docs, min(doc_id) as min_id
+          from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
+          group by 1 having count(*) > 1 order by prefix_hash
+        """,
+        "ngram_jaccard": _jaccard_sql(0.8),
+        # minhash-LSH verifies candidates with exact jaccard; with k=32,
+        # b=16 the banding recall at tau>=0.8 is 1 - (1-J^2)^16 >= 1-8e-8,
+        # so the output equals the exact-jaccard pairs
+        "minhash_lsh": _jaccard_sql(0.8),
+        "simhash_pairs": _simhash60_sql(),
+        "embedding_topk": f"""
+          select query_id, neighbor_id, rank, cosine from (
+            select a.vec_id as query_id, b.vec_id as neighbor_id,
+              round({_COS_SQL}, 6) as cosine,
+              row_number() over (partition by a.vec_id
+                                 order by round({_COS_SQL}, 6) desc, b.vec_id asc) as rank
+            from embeddings a join embeddings b on a.vec_id != b.vec_id
+            where a.vec_id < 20)
+          where rank <= 5 order by query_id, rank
+        """,
+        "embedding_neardup": f"""
+          select a.vec_id as id_a, b.vec_id as id_b, round({_COS_SQL}, 6) as cosine
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+          where round({_COS_SQL}, 6) >= 0.45
+          order by id_a, id_b
+        """,
+        "windowed_events": """
+          select date_trunc('hour', ts) as hour, event_type,
+                 count(*) as n_events,
+                 (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value
+          from events group by 1, 2 order by hour, event_type
+        """,
+        "sessionize": """
+          select user_id, sum(new_s) as n_sessions, count(*) as n_events from (
+            select user_id,
+              case when lag(ts) over w is null
+                   or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1 else 0 end as new_s
+            from events window w as (partition by user_id order by ts, event_id))
+          group by user_id order by user_id
+        """,
+        "status_routing": """
+          select route, count(*) as n from (
+            select case when value < 0 then 'error'
+                        when event_type = 'click' then 'follow'
+                        when event_type = 'view' then 'record'
+                        else 'skip' end as route
+            from events)
+          group by route order by route
+        """,
+        "url_canonicalize": f"""
+          with u as ({_URL_EXPR_SQL}),
+          c as (select doc_id,
+                  regexp_replace(regexp_replace(url, '#.*$', ''), '/+$', '') as canon
+                from u)
+          select doc_id, canon,
+            lower(regexp_extract(canon, '^[^:/?#]+://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)', 1)) as host,
+            (case
+               when len(string_split(lower(regexp_extract(canon, '^[^:/?#]+://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)', 1)), '.')) <= 2
+               then lower(regexp_extract(canon, '^[^:/?#]+://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)', 1))
+               else array_to_string(list_slice(string_split(lower(regexp_extract(canon, '^[^:/?#]+://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)', 1)), '.'), -2, -1), '.')
+             end) as reg_domain,
+            regexp_extract(canon, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) as path,
+            md5(concat_ws('/',
+              regexp_extract(canon, '^[^:/?#]+://([^/?#]*)', 1),
+              regexp_extract(canon, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+              '',
+              regexp_extract(canon, '\\?([^#]*)', 1))) as seen_key
+          from c order by doc_id
+        """,
+        "trap_filter": f"""
+          with u as ({_URL_EXPR_SQL}),
+          parts as (
+            select doc_id, url,
+              regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) as p,
+              lower(regexp_extract(url, '\\?([^#]*)', 1)) as q
+            from u
+          ), feats as (
+            select doc_id, url, p, q,
+              list_filter(string_split(p, '/'), s -> s <> '') as segs,
+              list_transform(list_filter(string_split(q, '&'), kv -> kv <> ''),
+                             kv -> string_split(kv, '=')[1]) as qkeys
+            from parts
+          )
+          select doc_id,
+            case
+              when len(list_filter(segs, s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0 then 'repeat_segment'
+              when len(segs) > 10 then 'deep_path'
+              when len(regexp_extract_all(p, '/(19|20)\\d\\d/')) >= 2
+                   or regexp_matches(q, '(^|&)(year|month|day|date|calendar|event)=\\d') then 'calendar'
+              when len(qkeys) > 5 or len(qkeys) != len(list_distinct(qkeys)) then 'query_explosion'
+              when regexp_matches(q, '(^|&)(sid|sessionid|phpsessid|jsessionid|utm_[a-z0-9_]*)=') then 'session_key'
+              when length(url) > 300 then 'long_url'
+            end as trap
+          from feats
+          where case
+              when len(list_filter(segs, s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0 then 'repeat_segment'
+              when len(segs) > 10 then 'deep_path'
+              when len(regexp_extract_all(p, '/(19|20)\\d\\d/')) >= 2
+                   or regexp_matches(q, '(^|&)(year|month|day|date|calendar|event)=\\d') then 'calendar'
+              when len(qkeys) > 5 or len(qkeys) != len(list_distinct(qkeys)) then 'query_explosion'
+              when regexp_matches(q, '(^|&)(sid|sessionid|phpsessid|jsessionid|utm_[a-z0-9_]*)=') then 'session_key'
+              when length(url) > 300 then 'long_url'
+            end is not null
+          order by doc_id
+        """,
+        "robots_gate": """
+          with cand as (
+            select doc_id as url_hash,
+              '/n' || (doc_id % 25)::VARCHAR
+                || (case when doc_id % 3 = 0 then '/pub' else '' end)
+                || '/d' || doc_id::VARCHAR as path
+            from documents
+          ), rules as (
+            select 'disallow' as rule_type, '/n' || n_nationkey::VARCHAR || '/' as value from nation
+            union all
+            select 'allow', '/n' || n_nationkey::VARCHAR || '/pub' from nation
+          )
+          select url_hash as doc_id,
+            (max(case when rule_type = 'disallow' and starts_with(path, value) then 1 else 0 end) = 0
+             or max(case when rule_type = 'allow' and starts_with(path, value) then 1 else 0 end) = 1) as allowed
+          from cand left join rules on true
+          group by url_hash
+          order by doc_id
+        """,
+    }

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "rounds": ..., "scheduled": ...}}
+
+Stages:
+  1. crawl throughput — bulk 10^5-shaped frontier (Zipfian domains),
+     engine politeness rounds; metric = URLs scheduled+fetched / sec
+     (the BASELINE.json metric at sandbox scale);
+  2. headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     CRAWL_BENCH_PAGES / CRAWL_BENCH_DOMAINS / CRAWL_BENCH_ROUNDS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from crawlspark import benchcorpus as BC
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.operators.robots import parse_robots
+from crawlspark.session import get_spark
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "politeness_quota",
+    "top50_words",
+    "doc_fingerprint",
+    "minhash_lsh",
+    "simhash_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "url_canonicalize",
+    "sessionize",
+]
+
+
+def run_crawl_bench(spark, n_pages: int, n_domains: int, rounds: int) -> dict:
+    pages = BC.build_pages(spark, n_pages, n_domains).persist()
+    pages.count()  # materialize outside the timed window
+    frontier = BC.build_frontier(spark, n_pages, n_domains)
+    robots = BC.build_robots(spark, n_domains)
+    rules = parse_robots(robots)
+    cfg = CrawlConfig(
+        allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        per_domain_quota=1,
+    )
+    state_dir = tempfile.mkdtemp(prefix="crawlbench_")
+    eng = CrawlEngine(
+        spark, cfg, None, state_dir,
+        checkpoint_interval=10**9,
+        pages=pages,
+        robots_bodies=robots,
+        sitemap_xml=spark.createDataFrame(
+            [], "registered_domain string, xml string"
+        ),
+    )
+    eng.start_from_frontier(frontier, rules, next_seq=n_pages)
+    t0 = time.monotonic()
+    done = 0
+    for _ in range(rounds):
+        if not eng.run_round():
+            break
+        done += 1
+    dt = time.monotonic() - t0
+    scheduled = eng.stats.total_scheduled
+    pages.unpersist()
+    return {
+        "seconds": round(dt, 2),
+        "rounds": done,
+        "scheduled": scheduled,
+        "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else 0.0,
+        "round_secs": [round(r.seconds, 2) for r in eng.stats.rounds],
+        "n_pages": n_pages,
+        "n_domains": n_domains,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_pages = int(os.environ.get("CRAWL_BENCH_PAGES", "200000"))
+    n_domains = int(os.environ.get("CRAWL_BENCH_DOMAINS", "5000"))
+    rounds = int(os.environ.get("CRAWL_BENCH_ROUNDS", "8"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("crawlspark-bench", master=f"local[{cpus}]")
+    t_all = time.monotonic()
+
+    timings: dict[str, float] = {}
+    crawl = run_crawl_bench(spark, n_pages, n_domains, rounds)
+    timings["crawl_rounds"] = crawl["seconds"]
+
+    qs = E.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 2)
+
+    total = round(time.monotonic() - t_all, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (crawl rounds + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -111,14 +111,20 @@ class CrawlEngine:
         self,
         spark: SparkSession,
         config: CrawlConfig,
-        corpus_dir: str,
+        corpus_dir: str | None,
         state_dir: str,
         checkpoint_interval: int = 5,
         pace_wallclock: bool = False,
+        pages: DataFrame | None = None,
+        robots_bodies: DataFrame | None = None,
+        sitemap_xml: DataFrame | None = None,
     ):
         self.spark = spark
         self.config = config
         self.corpus_dir = corpus_dir
+        self._pages_df = pages
+        self._robots_df = robots_bodies
+        self._sitemaps_df = sitemap_xml
         self.catalog = IceliteCatalog(state_dir)
         self.scratch_dir = os.path.join(state_dir, "scratch")
         os.makedirs(self.scratch_dir, exist_ok=True)
@@ -131,7 +137,10 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _load_corpus(self) -> None:
         s = self.spark
-        pages = s.read.parquet(f"{self.corpus_dir}/pages.parquet")
+        if self._pages_df is not None:
+            pages = self._pages_df
+        else:
+            pages = s.read.parquet(f"{self.corpus_dir}/pages.parquet")
         # index the corpus once by the engine's scheme-excluded 64-bit key
         self.pages = (
             pages.withColumn(
@@ -143,12 +152,18 @@ class CrawlEngine:
             )
             .persist()
         )
-        self.robots_bodies = s.read.parquet(f"{self.corpus_dir}/robots.parquet").select(
-            F.col("domain").alias("registered_domain"), "body"
-        ).persist()
-        self.sitemap_xml = s.read.parquet(f"{self.corpus_dir}/sitemaps.parquet").select(
-            F.col("domain").alias("registered_domain"), "xml"
-        ).persist()
+        if self._robots_df is not None:
+            self.robots_bodies = self._robots_df.persist()
+        else:
+            self.robots_bodies = s.read.parquet(f"{self.corpus_dir}/robots.parquet").select(
+                F.col("domain").alias("registered_domain"), "body"
+            ).persist()
+        if self._sitemaps_df is not None:
+            self.sitemap_xml = self._sitemaps_df
+        else:
+            self.sitemap_xml = s.read.parquet(f"{self.corpus_dir}/sitemaps.parquet").select(
+                F.col("domain").alias("registered_domain"), "xml"
+            ).persist()
 
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
@@ -219,6 +234,18 @@ class CrawlEngine:
             ["raw_url", "depth", "src", "parent_seq", "link_pos", "sub_pos"],
         ).withColumn("parent_seq", F.col("parent_seq").cast("long"))
         self._admit(cands)
+        self._checkpoint_state()
+
+    def start_from_frontier(self, pending: DataFrame, rules: DataFrame, next_seq: int) -> None:
+        """Bulk-load a pre-built pending frontier (bench / resume-from-
+        external): all robots rules pre-parsed, empty memories."""
+        self.completed = self._empty(COMPLETED_SCHEMA)
+        self.bad = self._empty(BAD_SCHEMA)
+        self.fingerprints = self._empty(FP_SCHEMA)
+        self.round_no = 0
+        self.pending = pending
+        self.rules = rules
+        self.next_seq = next_seq
         self._checkpoint_state()
 
     # ------------------------------------------------------------------

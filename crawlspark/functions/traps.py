@@ -7,7 +7,7 @@ deterministic, fully column-expression replacement (no UDF):
 
   T1 repeat_segment : any path segment occurring >= 3 times
   T2 deep_path      : > 10 non-empty path segments
-  T3 calendar       : >= 2 date-like path runs (/YYYY/MM) OR a
+  T3 calendar       : >= 2 year path segments (/YYYY/) OR a
                       (year|month|day|date|calendar|event)=<digits> query key
   T4 query_explosion: > 5 query params, or any repeated query key
   T5 session_key    : sid/sessionid/phpsessid/jsessionid/utm_* query keys
@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from crawlspark.functions import urls as U
 
-_CAL_SEG = r"/(19|20)\d{2}/\d{1,2}(?!\d)"
+# RE2-safe (no lookahead — the DuckDB oracle twin runs on RE2): count
+# '/YYYY/' year segments; >= 2 distinct date-ish runs marks a calendar trap.
+_CAL_SEG = r"/(19|20)\d\d/"
 _CAL_QUERY = r"(^|&)(year|month|day|date|calendar|event)=\d"
 _SESSION_QUERY = r"(^|&)(sid|sessionid|phpsessid|jsessionid|utm_[a-z0-9_]*)="
 MAX_PATH_DEPTH = 10

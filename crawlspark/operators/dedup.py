@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, n-gram Jaccard, SimHash, and
+embedding-cosine near-dup — each expressed as pure DataFrame ops with a
+deterministic cross-engine hash (``int(md5(x)[:15], 16)``, 60-bit) so the
+DuckDB oracle can compute byte-identical results.
+
+Scale notes (the 100 TB story):
+- exact dedup: one hash aggregate — map-side partial, minimal shuffle;
+- n-gram Jaccard: shingle-explode → equi-join on the shingle (inverted
+  index join), count per pair, exact Jaccard via |A∩B|/(|A|+|B|−|A∩B|) —
+  no cross join ever materializes; hot shingles are the skew risk →
+  drop top-frequency shingles (stopword-shingle cut, like common dedup
+  pipelines) or rely on AQE skew splitting;
+- MinHash LSH: k=32 min-hashes → 16 bands of 2 → bucket join on
+  (band, bandkey): candidate pairs ∝ true dups, then exact-verify.
+  P(miss | J=0.8) = (1−0.8²)^16 ≈ 8e-8 — effectively recall 1 at any
+  verification threshold ≥ 0.8;
+- embedding cosine: pairs via a cheap blocking key when available, else
+  brute within partition; here exact threshold join for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawlspark.functions.text import md5_int60, tokens, word_ngrams
+
+MINHASH_K = 32
+MINHASH_BANDS = 16  # rows per band = 2
+
+
+def text_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    return F.array_distinct(word_ngrams(tokens(text), n))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, n_dups) for content appearing more than once."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def prefix_fingerprint_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", n_tokens: int = 4
+) -> DataFrame:
+    """Soft exact-dedup: group by the md5 of the first ``n_tokens``
+    tokens (catches boilerplate/header dups that full-hash misses)."""
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, n_tokens))
+    return (
+        df.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index shingle join.
+
+    |A∩B| from the equi-join group count; |A∪B| = |A|+|B|−|A∩B| from
+    per-doc shingle counts — never a cross join."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature_from(sh: Column, k: int = MINHASH_K) -> Column:
+    """Array of k min-hashes over a (pre-computed) shingle array column:
+    min over shingles of md5_int60(shingle ∥ seed). Salted-hash minima
+    instead of affine permutations — identical semantics, and
+    byte-reproducible in the DuckDB oracle. Take ``sh`` from a bound
+    column (withColumn) so the shingle array is computed once per row,
+    not once per hash."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: md5_int60(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidates (band bucket join) + exact Jaccard verify.
+
+    Output equals ``ngram_jaccard_pairs`` whenever no true pair is missed
+    by banding (P(miss) ≤ (1−τ^(k/bands))^bands — negligible for τ ≥ 0.5
+    with k=32, b=16)."""
+    rows = k // bands
+    sig = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .withColumn("_shs", text_shingles(F.col("_txt"), n))
+        .select("doc", minhash_signature_from(F.col("_shs"), k).alias("sig"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ":", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.explode(band_structs).alias("bk")).select(
+        "doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash60(text: Column) -> Column:
+    """60-bit expression-only simhash over token counts (md5_int60 token
+    hash; bit i set iff Σ ±count > 0). Pure column ops → has an exact SQL
+    twin; the crawl engine's 64-bit pandas-UDF simhash lives in
+    functions/simhash.py — this is the relational variant for dedup."""
+    toks = tokens(text)
+    uniq = F.array_distinct(toks)
+    # per unique token: (hash, count)
+    pairs = F.transform(
+        uniq,
+        lambda t: F.struct(
+            md5_int60(t).alias("h"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("c"),
+        ),
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(60):
+        bit_sum = F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                F.shiftright(p["h"], i).bitwiseAND(F.lit(1)) == 1, p["c"]
+            ).otherwise(-p["c"]),
+        )
+        fp = fp + F.when(bit_sum > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold — double-precision
+    zip_with/aggregate dot product, exact join (oracle parity); the scale
+    path is LSH bucketing first (operators/similarity.py)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v)
+    )
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

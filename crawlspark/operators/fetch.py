@@ -66,7 +66,24 @@ def fetch_and_route(scheduled: DataFrame, pages: DataFrame, config: CrawlConfig)
         F.col("status").alias("http_status"),
         "redirect_to", "content_type", "content_length", "caption", "out_links",
     )
-    joined = scheduled.join(page_cols, "url_hash", "left")
+    # Broadcast the (small) scheduled batch INTO the corpus scan — a plain
+    # scheduled-left-outer-join would shuffle the whole pages table every
+    # round (Spark can't broadcast the preserved side of an outer join).
+    # fetched = map-side broadcast hash join over pages; misses recovered
+    # with a second broadcast anti-join. Zero corpus shuffles per round.
+    fetched = page_cols.join(F.broadcast(scheduled), "url_hash", "inner")
+    missing = scheduled.join(
+        F.broadcast(fetched.select("url_hash")), "url_hash", "left_anti"
+    )
+    null_page = [
+        F.lit(None).cast(t).alias(c)
+        for c, t in [
+            ("http_status", "int"), ("redirect_to", "string"),
+            ("content_type", "string"), ("content_length", "long"),
+            ("caption", "string"), ("out_links", "array<string>"),
+        ]
+    ]
+    joined = fetched.unionByName(missing.select("*", *null_page))
 
     ctoks = X.content_tokens(F.col("caption"))
     parsedable = (

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products in double via zip_with/aggregate (JVM-side, codegen'd);
+  ranking quantized to 6 decimals with id tie-break so results are
+  stable across engines (the DuckDB oracle reproduces it bit-for-bit).
+- ``ann_hyperplane_topk``: the scale path — random-hyperplane LSH:
+  deterministic sign-bit sketches (md5-seeded hyperplanes, Arrow pandas
+  UDF), candidates = bucket collisions across ``n_tables`` sketch tables,
+  exact re-rank of candidates only. At 10^10 rows the bucket join
+  replaces the O(N·Q) scan with O(collisions); recall tunable via
+  (bits, tables).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    n = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return dot / (n(va) * n(vb))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (excluding self) per query vector.
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("table_id", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
+
+
+def _hyperplanes(dim: int, bits: int, table: int) -> np.ndarray:
+    """Deterministic hyperplanes: seeded by (table, bit) via crc32 — no
+    RNG state shipped to executors, reproducible everywhere."""
+    import zlib
+
+    seed = zlib.crc32(f"annlsh:{table}:{bits}:{dim}".encode()) & 0xFFFFFFFF
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def sketch(df: DataFrame, bits: int = 12, n_tables: int = 4,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table_id, bucket) sign-bit sketches, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for t in range(n_tables):
+                if t not in planes:
+                    planes[t] = _hyperplanes(mat.shape[1], bits, t)
+                signs = (mat @ planes[t].T) > 0
+                buckets = (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
+                outs.append(
+                    pd.DataFrame({"vec_id": ids, "table_id": t, "bucket": buckets})
+                )
+            yield pd.concat(outs)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, _SKETCH_SCHEMA)
+
+
+def ann_hyperplane_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-collision candidates → exact re-rank.
+    Output: (query_id, neighbor_id, rank, cosine) — approximate recall."""
+    cs = sketch(corpus, bits, n_tables, id_col, vec_col)
+    qs = sketch(queries, bits, n_tables, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        qs.join(cs, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
