@@ -129,6 +129,8 @@ class CrawlEngine:
         self.scratch_dir = os.path.join(state_dir, "scratch")
         os.makedirs(self.scratch_dir, exist_ok=True)
         self._state_ver: dict[str, int] = {}
+        self._delta_ver: dict[str, int] = {}
+        self._state_parts: dict[str, list[str]] = {}
         self.checkpoint_interval = checkpoint_interval
         self.pace_wallclock = pace_wallclock
         self.stats = CrawlStats()
@@ -176,24 +178,62 @@ class CrawlEngine:
     # round boundary is trivially resumable — which is the icelite model
     # anyway. Scratch from two rounds ago is deleted each round.
     def _mat(self, df: DataFrame, name: str, single: bool = False) -> DataFrame:
+        # repartition(1), NOT coalesce(1): coalesce collapses the upstream
+        # plan to one task (a pandas UDF would run serially); repartition
+        # keeps upstream parallel and only funnels the small result.
         path = os.path.join(self.scratch_dir, f"r{self.round_no:06d}", name)
-        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(path)
+        (df.repartition(1) if single else df).write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
     def _mat_state(self, df: DataFrame, name: str, single: bool = False) -> DataFrame:
-        """State tables version independently of rounds (a clean table may
-        stay unwritten for many rounds — its files must outlive round
-        scratch GC). Keeps the previous version for in-flight plans and
-        deletes older ones."""
+        """Full-rewrite state table (pending). Versions independently of
+        rounds; keeps the previous version for in-flight plans and deletes
+        older ones."""
         import shutil
 
         ver = self._state_ver.get(name, -1) + 1
         self._state_ver[name] = ver
         path = os.path.join(self.scratch_dir, "state", name, f"v{ver:06d}")
-        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(path)
+        (df.repartition(1) if single else df).write.mode("overwrite").parquet(path)
         old = os.path.join(self.scratch_dir, "state", name, f"v{ver - 2:06d}")
         shutil.rmtree(old, ignore_errors=True)
         return self.spark.read.parquet(path)
+
+    def _append_state_delta(self, delta: DataFrame, name: str) -> DataFrame:
+        """Append-only state table (completed / bad / fingerprints): write
+        ONLY the round's delta — O(delta) per round instead of an O(total)
+        rewrite. The icelite manifest references delta files without
+        rewriting them (Iceberg append-commit semantics). Returns the
+        materialized delta alone; read the full table via _state_table."""
+        dirp = os.path.join(self.scratch_dir, "state", name)
+        if name not in self._delta_ver:
+            # resume safety: never overwrite a delta dir a previous run's
+            # manifest may reference
+            self._delta_ver[name] = len(os.listdir(dirp)) if os.path.isdir(dirp) else 0
+        ver = self._delta_ver[name]
+        self._delta_ver[name] = ver + 1
+        path = os.path.join(dirp, f"d{ver:06d}")
+        delta.repartition(1).write.mode("overwrite").parquet(path)
+        self._state_parts.setdefault(name, []).append(path)
+        return self.spark.read.parquet(path)
+
+    def _state_table(self, name: str, schema: T.StructType) -> DataFrame:
+        parts = self._state_parts.get(name)
+        if not parts:
+            return self._empty(schema)
+        return self.spark.read.parquet(*parts)
+
+    @property
+    def completed(self) -> DataFrame:
+        return self._state_table("completed", COMPLETED_SCHEMA)
+
+    @property
+    def bad(self) -> DataFrame:
+        return self._state_table("bad", BAD_SCHEMA)
+
+    @property
+    def fingerprints(self) -> DataFrame:
+        return self._state_table("fingerprints", FP_SCHEMA)
 
     def _gc_scratch(self) -> None:
         import shutil
@@ -205,22 +245,20 @@ class CrawlEngine:
     def start(self, resume: bool = False) -> None:
         snap = self.catalog.latest() if resume else None
         if snap is not None:
-            ld = lambda n, sch: (
-                self.catalog.load(self.spark, snap, n) or self._empty(sch)
+            self.pending = (
+                self.catalog.load(self.spark, snap, "pending")
+                or self._empty(FRONTIER_SCHEMA)
             )
-            self.pending = ld("pending", FRONTIER_SCHEMA)
-            self.completed = ld("completed", COMPLETED_SCHEMA)
-            self.bad = ld("bad", BAD_SCHEMA)
-            self.fingerprints = ld("fingerprints", FP_SCHEMA)
-            self.rules = ld("rules", RULES_SCHEMA)
+            self.rules = (
+                self.catalog.load(self.spark, snap, "rules") or self._empty(RULES_SCHEMA)
+            )
+            for name in ("completed", "bad", "fingerprints"):
+                self._state_parts[name] = self.catalog.paths(snap, name)
             self.next_seq = int(snap.meta["next_seq"])
             self.round_no = int(snap.meta["round_no"])
             return
         # fresh start: admit seeds (ref crawler/frontier.py:60-67)
         self.pending = self._empty(FRONTIER_SCHEMA)
-        self.completed = self._empty(COMPLETED_SCHEMA)
-        self.bad = self._empty(BAD_SCHEMA)
-        self.fingerprints = self._empty(FP_SCHEMA)
         self.rules = self._empty(RULES_SCHEMA)
         self.next_seq = 0
         self.round_no = 0
@@ -239,9 +277,6 @@ class CrawlEngine:
     def start_from_frontier(self, pending: DataFrame, rules: DataFrame, next_seq: int) -> None:
         """Bulk-load a pre-built pending frontier (bench / resume-from-
         external): all robots rules pre-parsed, empty memories."""
-        self.completed = self._empty(COMPLETED_SCHEMA)
-        self.bad = self._empty(BAD_SCHEMA)
-        self.fingerprints = self._empty(FP_SCHEMA)
         self.round_no = 0
         self.pending = pending
         self.rules = rules
@@ -282,14 +317,15 @@ class CrawlEngine:
         new_pending = rows.filter(F.col("status") == "pending")
         blocked = rows.filter(F.col("status") == "robots_blocked")
         self.pending = self.pending.unionByName(new_pending)
-        self.completed = self.completed.unionByName(
+        self._append_state_delta(
             blocked.withColumns(
                 {
                     "completed_round": F.lit(None).cast("int"),
                     "total_words": F.lit(None).cast("int"),
                     "n_distinct_words": F.lit(None).cast("int"),
                 }
-            )
+            ),
+            "completed",
         )
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
@@ -298,13 +334,6 @@ class CrawlEngine:
 
     def _checkpoint_state(self) -> None:
         self.pending = self._mat_state(self.pending, "pending")
-        self.completed = self._mat_state(self.completed, "completed")
-        if getattr(self, "_bad_dirty", True):
-            self.bad = self._mat_state(self.bad, "bad", single=True)
-            self._bad_dirty = False
-        if getattr(self, "_fp_dirty", True):
-            self.fingerprints = self._mat_state(self.fingerprints, "fp", single=True)
-            self._fp_dirty = False
         if getattr(self, "_rules_dirty", True):
             self.rules = self._mat_state(self.rules, "rules", single=True)
             self._rules_dirty = False
@@ -313,10 +342,10 @@ class CrawlEngine:
         self.catalog.commit(
             {
                 "pending": self.pending,
-                "completed": self.completed,
-                "bad": self.bad,
-                "fingerprints": self.fingerprints,
                 "rules": self.rules,
+                "completed": list(self._state_parts.get("completed", [])),
+                "bad": list(self._state_parts.get("bad", [])),
+                "fingerprints": list(self._state_parts.get("fingerprints", [])),
             },
             meta={
                 "next_seq": self.next_seq,
@@ -421,7 +450,7 @@ class CrawlEngine:
             .withColumn("completed_round", F.lit(self.round_no))
             .select(*[n for n, _ in FRONTIER_FIELDS + COMPLETED_EXTRA])
         )
-        statused = self._mat(statused, "statused", single=True)
+        statused = self._append_state_delta(statused, "completed")
         by_status = {
             r["status"]: r["cnt"]
             for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
@@ -450,14 +479,13 @@ class CrawlEngine:
                     .select("url", "host", F.lit("error").alias("kind"), "sim_tokens")
                 )
             )
-            self.bad = self.bad.unionByName(new_bad)
-            self._bad_dirty = True
+            self._append_state_delta(new_bad, "bad")
         n_fp = by_status.get("parsed", 0) + by_status.get("neardup", 0)
         if n_fp:
-            self.fingerprints = self.fingerprints.unionByName(
-                routed.filter(F.col("route") == "parse").select("url_hash", "simhash")
+            self._append_state_delta(
+                routed.filter(F.col("route") == "parse").select("url_hash", "simhash"),
+                "fingerprints",
             )
-            self._fp_dirty = True
 
         # discovery ----------------------------------------------------
         parsed_final = statused.filter(F.col("status") == "parsed").select(
@@ -492,7 +520,6 @@ class CrawlEngine:
         self.pending = self.pending.join(
             sched.select("url_hash"), "url_hash", "left_anti"
         )
-        self.completed = self.completed.unionByName(statused)
         _mark("pending_update")
         n_new = (
             self._admit(candidates)

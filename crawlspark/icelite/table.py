@@ -67,41 +67,68 @@ class IceliteCatalog:
 
     def load(self, spark: SparkSession, snapshot: Snapshot, name: str) -> DataFrame | None:
         info = snapshot.tables.get(name)
-        if info is None or info["rows"] == 0:
+        if info is None:
             return None
-        return spark.read.parquet(os.path.join(self.root, info["path"]))
+        paths = self.paths(snapshot, name)
+        if not paths or info["rows"] == 0:
+            return None
+        return spark.read.parquet(*paths)
+
+    def paths(self, snapshot: Snapshot, name: str) -> list[str]:
+        """Absolute data paths of a table in a snapshot (single-dir tables
+        and append-only multi-part tables alike)."""
+        info = snapshot.tables.get(name)
+        if info is None:
+            return []
+        rel = info.get("paths", [info["path"]] if info.get("path") else [])
+        return [os.path.join(self.root, p) for p in rel]
 
     # -- write side ---------------------------------------------------
     def commit(
         self,
-        dfs: dict[str, DataFrame | None],
+        dfs: dict[str, "DataFrame | list[str] | None"],
         meta: dict[str, Any],
         partition_by: dict[str, list[str]] | None = None,
     ) -> Snapshot:
+        """A table value may be a DataFrame (written into the snapshot dir)
+        or a list of existing parquet dirs (append-only tables committed BY
+        REFERENCE — Iceberg's append commit: the manifest lists the data
+        files, nothing is rewritten)."""
         parent = self.latest()
         sid = (parent.snapshot_id + 1) if parent else 0
         tables: dict[str, dict[str, Any]] = {}
+
+        def _scan(path: str) -> list[dict[str, Any]]:
+            out = []
+            for dirpath, _, fnames in os.walk(path):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        fp = os.path.join(dirpath, fn)
+                        out.append(
+                            {
+                                "file": os.path.relpath(fp, self.root),
+                                "bytes": os.path.getsize(fp),
+                            }
+                        )
+            return out
+
         for name, df in dfs.items():
+            if isinstance(df, list):
+                rels = [os.path.relpath(p, self.root) for p in df]
+                files = [f for p in df for f in _scan(p)]
+                tables[name] = {"paths": rels, "rows": -1, "files": files}
+                continue
             rel = os.path.join("data", f"snap-{sid:06d}", name)
             path = os.path.join(self.root, rel)
             rows = 0
-            files: list[dict[str, Any]] = []
+            files = []
             if df is not None:
                 writer = df.write.mode("overwrite")
                 pby = (partition_by or {}).get(name)
                 if pby:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
-                for dirpath, _, fnames in os.walk(path):
-                    for fn in fnames:
-                        if fn.endswith(".parquet"):
-                            fp = os.path.join(dirpath, fn)
-                            files.append(
-                                {
-                                    "file": os.path.relpath(fp, self.root),
-                                    "bytes": os.path.getsize(fp),
-                                }
-                            )
+                files = _scan(path)
                 rows = df.sparkSession.read.parquet(path).count() if files else 0
             tables[name] = {"path": rel, "rows": rows, "files": files}
         snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
