@@ -199,7 +199,7 @@ class CrawlEngine:
         shutil.rmtree(old, ignore_errors=True)
         return self.spark.read.parquet(path)
 
-    def _append_state_delta(self, delta: DataFrame, name: str) -> DataFrame:
+    def _append_state_delta(self, delta: DataFrame, name: str, single: bool = True) -> DataFrame:
         """Append-only state table (completed / bad / fingerprints): write
         ONLY the round's delta — O(delta) per round instead of an O(total)
         rewrite. The icelite manifest references delta files without
@@ -213,7 +213,7 @@ class CrawlEngine:
         ver = self._delta_ver[name]
         self._delta_ver[name] = ver + 1
         path = os.path.join(dirp, f"d{ver:06d}")
-        delta.repartition(1).write.mode("overwrite").parquet(path)
+        (delta.repartition(1) if single else delta).write.mode("overwrite").parquet(path)
         self._state_parts.setdefault(name, []).append(path)
         return self.spark.read.parquet(path)
 
@@ -380,9 +380,7 @@ class CrawlEngine:
         cfg = self.config
         self.round_no += 1
 
-        sched = self._mat(
-            schedule_round(self.pending, cfg.per_domain_quota), "sched", single=True
-        )
+        sched = self._mat(schedule_round(self.pending, cfg.per_domain_quota), "sched")
         n_sched = sched.count()
         _mark("schedule")
         if n_sched == 0:
@@ -412,16 +410,24 @@ class CrawlEngine:
             ~traps.is_trap(F.col("url"))
         )
 
-        # fused fetch + route + simhash + near-dup verdict → ONE scratch file
-        routed0 = FE.fetch_and_route(fetchable, self.pages, cfg)
-        sh = FE.batch_simhash(routed0.filter(F.col("route") == "parse"))
+        # fetch+route materialized FIRST so the corpus scan happens exactly
+        # once per round (the simhash and near-dup plans would otherwise
+        # re-derive the fetch join 3-4x); then fingerprint + near-dup
+        # verdicts join against the materialized batch.
+        # slim the broadcast side to the 4 columns fetch/discovery need —
+        # sim_tokens and the other frontier columns would triple the
+        # broadcast payload
+        fetch_in = fetchable.select("url_hash", "url", "depth", "discovery_seq")
+        routed0 = self._mat(FE.fetch_and_route(fetch_in, self.pages, cfg), "routed0")
+        sh = self._mat(
+            FE.batch_simhash(routed0.filter(F.col("route") == "parse")), "sh"
+        )
         nd = FE.neardup_hits(sh, self.fingerprints, cfg.simhash_max_hamming)
         routed = self._mat(
             routed0.join(sh, "url_hash", "left").join(
                 nd.withColumn("_nd", F.lit(True)), "url_hash", "left"
             ),
             "routed",
-            single=True,
         )
         _mark("routed")
 
@@ -450,7 +456,7 @@ class CrawlEngine:
             .withColumn("completed_round", F.lit(self.round_no))
             .select(*[n for n, _ in FRONTIER_FIELDS + COMPLETED_EXTRA])
         )
-        statused = self._append_state_delta(statused, "completed")
+        statused = self._append_state_delta(statused, "completed", single=False)
         by_status = {
             r["status"]: r["cnt"]
             for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()

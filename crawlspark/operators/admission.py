@@ -74,6 +74,46 @@ def validate(cands: DataFrame, config: CrawlConfig) -> DataFrame:
     return cands.filter(ok)
 
 
+
+def assign_seq(df: DataFrame, order_cols: list[str], start: int, materialize=None) -> "DataFrame":
+    """Scalable deterministic sequence assignment: global ``row_number``
+    over a total data-derived order WITHOUT a single-partition window.
+
+    Two phases (the classic parallel zipWithIndex, but order-by-key so the
+    result is independent of physical partitioning): range-repartition on
+    the order key, rank within each partition, then add per-partition
+    offsets (one tiny collect). The order key must be unique — here
+    (parent_seq, link_pos, sub_pos) is unique by construction."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn("_pid", F.spark_partition_id())
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*cols)
+    )
+    d = d.withColumn("_rn", local)
+    if materialize is not None:
+        # pin (_pid, _rn) before the counts collect: repartitionByRange
+        # re-samples boundaries per evaluation, so the ranked frame must
+        # not be recomputed between the offsets job and the final write
+        d = materialize(d, "seq_ranked")
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off = F.element_at(mapping, F.col("_pid"))
+    else:
+        off = F.lit(0)
+    return d.withColumn(
+        "discovery_seq", (F.lit(start) + off + F.col("_rn") - 1).cast("long")
+    ).drop("_pid", "_rn")
+
+
 @dataclass
 class AdmissionResult:
     new_rows: DataFrame        # frontier rows: status 'pending' | 'robots_blocked'
@@ -138,6 +178,7 @@ def admit(
             ),
             "adm_rules",
         )
+        no_new_rules = new_rules.isEmpty()
         all_new_rules = (
             new_rules if all_new_rules is None else all_new_rules.union(new_rules)
         )
@@ -146,7 +187,12 @@ def admit(
         eff_rules = rules.union(all_new_rules) if all_new_rules is not None else rules
         gated = R.robots_gate(fresh, eff_rules, "path")
 
-        # assign discovery_seq in admission order
+        # assign discovery_seq in admission order. A global row_number is
+        # a single-partition sort — but ONLY over this round's candidate
+        # batch (bounded by quota x fan-out, not frontier size), and it is
+        # the determinism anchor for FIFO replay. assign_seq (two-phase
+        # range rank) is available for giant batches; measured slower
+        # below ~1M candidates per round.
         w_seq = Window.orderBy("parent_seq", "link_pos", "sub_pos")
         rows = gated.withColumn(
             "discovery_seq",
@@ -169,7 +215,12 @@ def admit(
         # sitemap expansion for the new domains (S7): locs become a new
         # candidate batch ordered AFTER everything admitted so far, in
         # (domain lexicographic, loc position) order — fully data-derived
-        # so the seq assignment is stable across parallelism levels
+        # so the seq assignment is stable across parallelism levels.
+        # No newly-discovered robots → no Sitemap lines → skip the pass
+        # (a domain without robots.txt has nothing to expand, matching the
+        # reference's get_sitemap_urls_from_robots_txt contract).
+        if no_new_rules:
+            break
         locs = R.parse_sitemaps(new_doms.join(sitemap_xml, "registered_domain"))
         dom_rank = F.dense_rank().over(Window.orderBy("registered_domain"))
         batch = locs.withColumn("dom_rank", dom_rank).select(

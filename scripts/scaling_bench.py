@@ -28,7 +28,7 @@ from crawlspark.operators.robots import parse_robots
 from crawlspark.session import get_spark
 
 
-def run_at(cores: int, n_pages: int, n_domains: int, rounds: int) -> dict:
+def run_at(cores: int, n_pages: int, n_domains: int, rounds: int, quota: int = 1) -> dict:
     spark = get_spark(
         f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
@@ -39,7 +39,7 @@ def run_at(cores: int, n_pages: int, n_domains: int, rounds: int) -> dict:
     rules = parse_robots(robots)
     cfg = CrawlConfig(
         allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
-        per_domain_quota=1,
+        per_domain_quota=quota,
     )
     eng = CrawlEngine(
         spark, cfg, None, tempfile.mkdtemp(prefix=f"scale{cores}_"),
@@ -70,11 +70,13 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    quota = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
-    r8 = run_at(8, n_pages, n_domains, rounds)
-    r32 = run_at(32, n_pages, n_domains, rounds)
+    r8 = run_at(8, n_pages, n_domains, rounds, quota)
+    r32 = run_at(32, n_pages, n_domains, rounds, quota)
     eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
     out = {
+        "quota": quota,
         "n_pages": n_pages,
         "n_domains": n_domains,
         "rounds": rounds,
