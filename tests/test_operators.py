@@ -1,0 +1,137 @@
+"""Unit tests: schedule quota, robots twins, URL-Jaccard twins, simhash
+twins, dedup operators (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlspark.functions import simhash as SH
+from crawlspark.operators import badurls as BAD
+from crawlspark.operators import dedup as DD
+from crawlspark.operators import robots as R
+from crawlspark.operators.schedule import schedule_round
+
+
+def test_schedule_round_fifo_quota(spark):
+    rows = [
+        ("a.com", 3), ("a.com", 1), ("a.com", 2),
+        ("b.com", 10), ("c.com", 5), ("c.com", 4),
+    ]
+    df = spark.createDataFrame(rows, ["registered_domain", "discovery_seq"])
+    got = {
+        (r["registered_domain"], r["discovery_seq"])
+        for r in schedule_round(df, 1).collect()
+    }
+    assert got == {("a.com", 1), ("b.com", 10), ("c.com", 4)}
+    got2 = {
+        (r["registered_domain"], r["discovery_seq"])
+        for r in schedule_round(df, 2).collect()
+    }
+    assert got2 == {("a.com", 1), ("a.com", 2), ("b.com", 10), ("c.com", 4), ("c.com", 5)}
+
+
+def test_robots_parse_and_gate_twins(spark):
+    body = (
+        "# comment\nUser-agent: *\nDisallow: /admin/\nAllow: /admin/pub/\n"
+        "Disallow: /tmp/\nSitemap: https://d.example/sm.xml\nbadline\n"
+    )
+    rules_py = R.parse_robots_py("d.example", body)
+    assert ("d.example", "sitemap", "https://d.example/sm.xml") in rules_py
+    prefix_rules = [(t, v) for _, t, v in rules_py if t != "sitemap"]
+    cases = {
+        "/admin/x": False,
+        "/admin/pub/x": True,   # allow overrides disallow (robot_parser.py:39-46)
+        "/tmp/z": False,
+        "/ok": True,
+    }
+    for path, want in cases.items():
+        assert R.can_fetch_py(prefix_rules, path) == want, path
+
+    bodies = spark.createDataFrame([("d.example", body)], ["registered_domain", "body"])
+    rules = R.parse_robots(bodies)
+    cands = spark.createDataFrame(
+        [(i, "d.example", p) for i, p in enumerate(cases)],
+        ["url_hash", "registered_domain", "path"],
+    )
+    gated = {r["path"]: r["robots_allowed"] for r in R.robots_gate(cands, rules).collect()}
+    assert gated == cases
+
+
+def test_sim_tokens_twin(spark):
+    urls = [
+        "https://a.com/x/y/z?b=2&a=1&a=3",
+        "https://a.com/",
+        "https://a.com/p;param?k=v",
+        "https://a.com/q?novalue=&bare",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: set(r["toks"])
+        for r in df.select("url", BAD.sim_tokens(F.col("url")).alias("toks")).collect()
+    }
+    for u in urls:
+        assert got[u] == BAD.sim_tokens_py(u), (u, got[u], BAD.sim_tokens_py(u))
+
+
+def test_simhash_spark_matches_python_twin(spark):
+    texts = ["the quick brown fox jumps", "", "a a a b b c", "x " * 200]
+    df = spark.createDataFrame([(t,) for t in texts], ["caption"]).withColumn(
+        "url_hash", F.xxhash64("caption")
+    )
+    from crawlspark.operators.fetch import batch_simhash
+
+    got = {r["url_hash"]: r["simhash"] for r in batch_simhash(df).collect()}
+    import re
+
+    from crawlspark.functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+
+    stop = set(STOPWORDS)
+    splitter = re.compile(TOKEN_SPLIT_REGEX)
+    for row in df.select("url_hash", "caption").collect():
+        counts: dict[str, int] = {}
+        for tok in splitter.split(row["caption"].lower()):
+            if tok and tok not in stop:
+                counts[tok] = counts.get(tok, 0) + 1
+        assert got[row["url_hash"]] == SH.simhash_counter(counts)
+
+
+def test_lsh_similar_pairs_exact_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    # neighbors at hamming 1..5
+    for i in range(1, 6):
+        v = base
+        for b in rng.sample(range(60), i):
+            v ^= 1 << b
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["id", "simhash"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SH.lsh_similar_pairs(df, "id", max_hamming=3).collect()
+    }
+    # 0-1, 0-2, 0-3 must be found (hamming <= 3); 0-4, 0-5 must not pair with 0
+    assert {(0, 1), (0, 2), (0, 3)} <= pairs
+    assert (0, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "one two three four five six seven eight"),
+        (4, "totally different words entirely here now yes ok"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(df, "doc_id", "text", 3, 0.4).collect()
+    }
+    assert (1, 2) in exact
+    assert lsh == exact
