@@ -42,6 +42,7 @@ from crawlspark.icelite import IceliteCatalog
 from crawlspark.operators import admission as ADM
 from crawlspark.operators import badurls as BAD
 from crawlspark.operators import fetch as FE
+from crawlspark.operators.membership import BloomSeenFilter
 from crawlspark.operators.schedule import schedule_round
 
 FRONTIER_FIELDS = [
@@ -131,6 +132,16 @@ class CrawlEngine:
         self._state_ver: dict[str, int] = {}
         self._delta_ver: dict[str, int] = {}
         self._state_parts: dict[str, list[str]] = {}
+        self.bloom = (
+            BloomSeenFilter(
+                n_buckets=config.frontier_buckets,
+                bits_per_key=config.bloom_bits_per_key,
+                expected_keys_per_bucket=int(config.extra.get("bloom_keys_per_bucket", 100_000)),
+            )
+            if config.extra.get("use_bloom")
+            else None
+        )
+        self.bloom_state: DataFrame | None = None
         self.checkpoint_interval = checkpoint_interval
         self.pace_wallclock = pace_wallclock
         self.stats = CrawlStats()
@@ -256,6 +267,12 @@ class CrawlEngine:
                 self._state_parts[name] = self.catalog.paths(snap, name)
             self.next_seq = int(snap.meta["next_seq"])
             self.round_no = int(snap.meta["round_no"])
+            if self.bloom is not None:
+                # rebuild the membership filter from the resumed seen keys —
+                # an empty filter would answer false negatives and re-admit
+                self.bloom_state = self._mat_state(
+                    self.bloom.build(self._seen_keys()), "bloom", single=True
+                )
             return
         # fresh start: admit seeds (ref crawler/frontier.py:60-67)
         self.pending = self._empty(FRONTIER_SCHEMA)
@@ -282,6 +299,10 @@ class CrawlEngine:
         self.rules = rules
         self.next_seq = next_seq
         self._checkpoint_state()
+        if self.bloom is not None:
+            self.bloom_state = self._mat_state(
+                self.bloom.build(self.pending.select("url_hash")), "bloom", single=True
+            )
 
     # ------------------------------------------------------------------
     def _seen_keys(self) -> DataFrame:
@@ -308,6 +329,8 @@ class CrawlEngine:
             self.config,
             self.next_seq,
             self.round_no,
+            bloom=self.bloom,
+            bloom_state=self.bloom_state,
         )
         if res.new_rows is None:
             return 0
@@ -330,6 +353,14 @@ class CrawlEngine:
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
+        if self.bloom is not None:
+            delta_filter = self.bloom.build(rows.select("url_hash"))
+            merged = (
+                delta_filter
+                if self.bloom_state is None
+                else self.bloom.merge(self.bloom_state, delta_filter)
+            )
+            self.bloom_state = self._mat_state(merged, "bloom", single=True)
         return n
 
     def _checkpoint_state(self) -> None:

@@ -131,6 +131,8 @@ def admit(
     config: CrawlConfig,
     next_seq: int,
     round_no: int,
+    bloom=None,                    # BloomSeenFilter | None
+    bloom_state: DataFrame | None = None,
 ) -> AdmissionResult:
     """One admission pass, with the new-domain robots/sitemap expansion
     fix-pointed (<=3 iterations; sitemap URLs are same-domain in practice,
@@ -151,10 +153,17 @@ def admit(
             .filter(F.col("_occ") == 1)
             .drop("_occ")
         )
-        # seen-check: exact anti-join (F11). seen_keys may be large —
-        # candidates are the small side; Spark plans a broadcast of the
-        # batch when beneficial under AQE.
-        fresh = deduped.join(seen_keys, "url_hash", "left_anti")
+        # seen-check (F11): optional bloom pre-filter (SURVEY §2.5 —
+        # probabilistic reject is an optimization; negatives are definitely
+        # fresh and skip the exact join, positives are confirmed exactly,
+        # so the seen-set semantics stay identical to the plain anti-join)
+        if bloom is not None and bloom_state is not None:
+            probed = bloom.probe(deduped, bloom_state)
+            fresh_neg = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            fresh = fresh_neg.unionByName(maybe.join(seen_keys, "url_hash", "left_anti"))
+        else:
+            fresh = deduped.join(seen_keys, "url_hash", "left_anti")
         if all_new_rows is not None:
             fresh = fresh.join(
                 all_new_rows.select("url_hash"), "url_hash", "left_anti"

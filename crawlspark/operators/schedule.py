@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+SALT_BUCKETS = 8  # phase-1 salt fan-out for hot registered domains
+
 
 def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
     """Pick the next micro-batch: K lowest-seq pending URLs per registered
@@ -31,7 +33,6 @@ def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
     aggregation for min(), so we implement phase 1 as a min-seq semi-filter
     when K == 1 (the common case), falling back to one exact window.
     """
-    w = Window.partitionBy("registered_domain").orderBy(F.col("discovery_seq").asc())
     if quota_per_domain == 1:
         # K=1: per-domain min(seq) is a hash aggregate (map-side partial →
         # tiny shuffle), then a semi-join back — no full-frontier window.
@@ -41,8 +42,26 @@ def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
         return pending.join(
             F.broadcast(heads), ["registered_domain", "discovery_seq"], "left_semi"
         )
+    # K>1: salted two-phase top-K (north_rule hot-domain skew handling).
+    # Phase 1 ranks within (domain, salt) — the hot domain's pending rows
+    # split across SALT_BUCKETS partitions instead of one — keeping at
+    # most K per salt; phase 2 takes the exact top-K over the <= K·S
+    # survivors per domain. Salt is data-derived (url_hash), so the result
+    # is identical at any parallelism level, and equals the unsalted
+    # window by construction (phase 1 never drops a global top-K row:
+    # a row in the domain top-K is in its salt's top-K).
+    salt = F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+    w1 = Window.partitionBy("registered_domain", salt).orderBy(
+        F.col("discovery_seq").asc()
+    )
+    survivors = (
+        pending.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= quota_per_domain)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("registered_domain").orderBy(F.col("discovery_seq").asc())
     return (
-        pending.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= quota_per_domain)
         .drop("_rn")
     )
