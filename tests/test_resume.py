@@ -1,0 +1,35 @@
+"""Resume-from-snapshot equals uninterrupted run (SURVEY.md §5.4,
+mirrors tests/worker_test.py:175-192 in the reference)."""
+
+from __future__ import annotations
+
+from crawlspark import corpus as C
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.reports import crawl_report
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    d = str(tmp_path / "corpus")
+    C.write_corpus(d, C.CorpusSpec(n_pages=50, n_domains=8, seed=13))
+    cfg = CrawlConfig(allowed_url_patterns=C.ALLOWED_PATTERNS, per_domain_quota=2)
+
+    a = CrawlEngine(spark, cfg, d, str(tmp_path / "sa"), checkpoint_interval=2)
+    a.start(resume=False)
+    a.run()
+
+    b1 = CrawlEngine(spark, cfg, d, str(tmp_path / "sb"), checkpoint_interval=2)
+    b1.start(resume=False)
+    for _ in range(5):
+        b1.run_round()
+    del b1  # crash: snapshot cadence 2 → rounds 5 state is lost
+
+    b2 = CrawlEngine(spark, cfg, d, str(tmp_path / "sb"), checkpoint_interval=2)
+    b2.start(resume=True)
+    assert b2.round_no in (4, 5)
+    b2.run()
+
+    ea = {r["url"]: r["status"] for r in a.all_rows().select("url", "status").collect()}
+    eb = {r["url"]: r["status"] for r in b2.all_rows().select("url", "status").collect()}
+    assert ea == eb
+    assert crawl_report(a.all_rows(), a.pages) == crawl_report(b2.all_rows(), b2.pages)
