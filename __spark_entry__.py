@@ -249,16 +249,38 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at Hamming <= 8 over the 60-bit expression simhash.
+    Candidates via LSH banding (10 bands x 6 bits): a pair differing in
+    <= 8 bits touches <= 8 bands, so >= 2 of 10 bands collide — recall is
+    pigeonhole-EXACT, the verified output equals the cross join (which is
+    what the DuckDB oracle computes)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", DD.simhash60(F.col("text")).alias("fp"))
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
+    fp = docs.select("doc_id", DD.simhash60_udf(F.col("text")).alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("fp"), b * 6).bitwiseAND(F.lit(63)).alias("band_val"),
+            )
+            for b in range(10)
+        ]
+    )
+    banded = fp.withColumn("bk", F.explode(bands)).select(
+        "doc_id", "fp", F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"), "band_id", "band_val"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"))
         .filter(F.col("hamming") <= 8)
         .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 

@@ -213,3 +213,45 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+import re as _re
+from hashlib import md5 as _md5
+
+import numpy as _np
+import pandas as _pd
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+from pyspark.sql.types import LongType as _LongType
+
+from crawlspark.functions.text import TOKEN_SPLIT_REGEX as _TOKRE
+
+_SPLIT = _re.compile(_TOKRE)
+
+
+@_pandas_udf(_LongType())
+def simhash60_udf(texts: _pd.Series) -> _pd.Series:
+    """Arrow pandas-UDF twin of ``simhash60`` — identical output (md5
+    60-bit token hashes, weighted-bit sign), far faster than the 60-term
+    expression tree for wide corpora. The DuckDB oracle stays the
+    expression formula; both produce the same value."""
+    out = _np.zeros(len(texts), dtype=_np.int64)
+    for i, t in enumerate(texts):
+        counts: dict[str, int] = {}
+        for tok in _SPLIT.split((t or "").lower()):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+        if not counts:
+            continue
+        hs = _np.array(
+            [int(_md5(tok.encode()).hexdigest()[:15], 16) for tok in counts],
+            dtype=_np.uint64,
+        )
+        ws = _np.array(list(counts.values()), dtype=_np.int64)
+        bits = ((hs[:, None] >> _np.arange(60, dtype=_np.uint64)[None, :]) & _np.uint64(1)).astype(_np.int64)
+        acc = ((2 * bits - 1) * ws[:, None]).sum(axis=0)
+        fp = 0
+        for b in range(60):
+            if acc[b] > 0:
+                fp |= 1 << b
+        out[i] = fp
+    return _pd.Series(out)
