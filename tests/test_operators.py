@@ -17,7 +17,11 @@ def test_schedule_round_fifo_quota(spark):
         ("a.com", 3), ("a.com", 1), ("a.com", 2),
         ("b.com", 10), ("c.com", 5), ("c.com", 4),
     ]
-    df = spark.createDataFrame(rows, ["registered_domain", "discovery_seq"])
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        rows, ["registered_domain", "discovery_seq"]
+    ).withColumn("url_hash", FF.xxhash64("discovery_seq"))
     got = {
         (r["registered_domain"], r["discovery_seq"])
         for r in schedule_round(df, 1).collect()

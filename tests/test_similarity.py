@@ -15,12 +15,15 @@ def test_ann_recall_against_bruteforce(spark):
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(emb, queries, k=5).collect()
     }
+    # these embeddings are near-isotropic (top-5 cosine ~0.3-0.5), so the
+    # bucket-collision probability per table must be kept generous:
+    # 4 bits -> p = P(bit agree)^4 with p_bit ~ 0.6, x16 tables
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in ann_hyperplane_topk(emb, queries, k=5, bits=8, n_tables=12).collect()
+        for r in ann_hyperplane_topk(emb, queries, k=5, bits=4, n_tables=16).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, recall  # 12 tables x 8 bits on 500 x 64-dim vecs
+    assert recall >= 0.6, recall
 
 
 def test_cosine_topk_excludes_self_and_ranks(spark):
