@@ -145,6 +145,10 @@ class CrawlEngine:
         self.checkpoint_interval = checkpoint_interval
         self.pace_wallclock = pace_wallclock
         self.stats = CrawlStats()
+        # grow-forever memories: once past the broadcast budget the
+        # similarity joins degrade to shuffled hash joins (scale guard)
+        self._n_bad_total = 0
+        self._broadcast_bad_limit = int(config.extra.get("broadcast_bad_limit", 500_000))
         self._load_corpus()
 
     # ------------------------------------------------------------------
@@ -152,6 +156,17 @@ class CrawlEngine:
         s = self.spark
         if self._pages_df is not None:
             pages = self._pages_df
+        elif self.corpus_dir is None:
+            # live-HTTP mode (extra['fetch_mode']='http'): no corpus tables;
+            # robots/sitemaps must be passed in (or stay empty)
+            self.pages = None
+            self.robots_bodies = self._robots_df if self._robots_df is not None else s.createDataFrame(
+                [], "registered_domain string, body string"
+            )
+            self.sitemap_xml = self._sitemaps_df if self._sitemaps_df is not None else s.createDataFrame(
+                [], "registered_domain string, xml string"
+            )
+            return
         else:
             pages = s.read.parquet(f"{self.corpus_dir}/pages.parquet")
         # index the corpus once by the engine's scheme-excluded 64-bit key
@@ -265,6 +280,8 @@ class CrawlEngine:
             )
             for name in ("completed", "bad", "fingerprints"):
                 self._state_parts[name] = self.catalog.paths(snap, name)
+            if self._state_parts.get("bad"):
+                self._n_bad_total = self.bad.count()
             self.next_seq = int(snap.meta["next_seq"])
             self.round_no = int(snap.meta["round_no"])
             if self.bloom is not None:
@@ -281,9 +298,12 @@ class CrawlEngine:
         self.round_no = 0
         # seed order must be the config order (deterministic), so enumerate
         # driver-side rather than relying on partition-dependent ids
-        import pyarrow.parquet as pq
+        if self.corpus_dir is not None:
+            import pyarrow.parquet as pq
 
-        seed_urls = pq.read_table(f"{self.corpus_dir}/seeds.parquet").column("url").to_pylist()
+            seed_urls = pq.read_table(f"{self.corpus_dir}/seeds.parquet").column("url").to_pylist()
+        else:
+            seed_urls = list(self.config.seed_urls)
         cands = self.spark.createDataFrame(
             [(u, 0, "seed", -1, i, 0) for i, u in enumerate(seed_urls)],
             ["raw_url", "depth", "src", "parent_seq", "link_pos", "sub_pos"],
@@ -426,7 +446,8 @@ class CrawlEngine:
         rest = s.filter(depth_ok)
         hits = self._mat(
             BAD.similarity_hits(
-                rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count
+                rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count,
+                broadcast_bad=self._n_bad_total <= self._broadcast_bad_limit,
             )
             .groupBy("url")
             .agg(
@@ -449,7 +470,15 @@ class CrawlEngine:
         # sim_tokens and the other frontier columns would triple the
         # broadcast payload
         fetch_in = fetchable.select("url_hash", "url", "depth", "discovery_seq")
-        routed0 = self._mat(FE.fetch_and_route(fetch_in, self.pages, cfg), "routed0")
+        if cfg.extra.get("fetch_mode") == "http":
+            from crawlspark.operators import httpfetch as HF
+
+            routed0 = self._mat(
+                HF.live_fetch_and_route(fetch_in, cfg, cfg.extra.get("http_transport")),
+                "routed0",
+            )
+        else:
+            routed0 = self._mat(FE.fetch_and_route(fetch_in, self.pages, cfg), "routed0")
         sh = self._mat(
             FE.batch_simhash(routed0.filter(F.col("route") == "parse")), "sh"
         )
@@ -517,6 +546,7 @@ class CrawlEngine:
                 )
             )
             self._append_state_delta(new_bad, "bad")
+            self._n_bad_total += n_bad
         n_fp = by_status.get("parsed", 0) + by_status.get("neardup", 0)
         if n_fp:
             self._append_state_delta(

@@ -25,6 +25,43 @@ STOPWORDS: tuple[str, ...] = (
     "had", "what", "when", "where", "who", "which", "why", "how",
 )
 
+# Frozen copy of the standard NLTK english stopword list (public corpus,
+# 179 words) — the reference filtered words through nltk's list
+# (tests/worker_test.py:123-126). Report queries accept stopwords="nltk"
+# for byte-parity with the reference on real corpora; the compact list
+# above stays the conformance default (the synthetic corpus vocab and the
+# DuckDB oracles are frozen against it).
+NLTK_STOPWORDS: tuple[str, ...] = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had",
+    "having", "do", "does", "did", "doing", "a", "an", "the", "and",
+    "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren",
+    "weren't", "won", "won't", "wouldn", "wouldn't",
+)
+
+STOPWORD_SETS: dict[str, tuple[str, ...]] = {
+    "default": STOPWORDS,
+    "nltk": NLTK_STOPWORDS,
+}
+
 # tiny per-language marker lists for the n-gram/stopword lang-ID heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
@@ -51,10 +88,11 @@ def tokens(text: Column) -> Column:
     )
 
 
-def content_tokens(text: Column) -> Column:
+def content_tokens(text: Column, stopwords: str = "default") -> Column:
     """Tokens minus stopwords — the reference's word-count input
-    (tests/worker_test.py:123-126 filters nltk stopwords)."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    (tests/worker_test.py:123-126 filters nltk stopwords). Pass
+    stopwords="nltk" for the frozen nltk-parity list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORD_SETS[stopwords]])
     return F.filter(tokens(text), lambda t: ~F.array_contains(sw, t))
 
 

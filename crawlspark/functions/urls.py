@@ -44,8 +44,16 @@ def normalize(url: Column) -> Column:
 
 
 def canonicalize(url: Column) -> Column:
-    """normalize ∘ defragment — the admission pipeline's P4+P5 combo
-    (ref crawler/frontier.py:123-127 applies normalize then defragment)."""
+    """defragment THEN normalize — the admission pipeline's P4+P5 combo.
+
+    DELIBERATE DEVIATION from the reference order: frontier.py:123-127
+    normalizes first, then defragments, so 'https://h/p/#frag' keeps its
+    trailing slash ('https://h/p/') and gets a seen-key distinct from
+    'https://h/p'. We strip the fragment first so both collapse to one
+    canonical form — strictly fewer duplicate fetches. The conformance
+    oracle (crawlspark.oracle.canonicalize) freezes the same order, so
+    engine==oracle everywhere; only raw-reference byte parity differs,
+    and only for fragment-after-trailing-slash URLs."""
     return normalize(defragment(url))
 
 

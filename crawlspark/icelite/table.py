@@ -98,25 +98,54 @@ class IceliteCatalog:
         sid = (parent.snapshot_id + 1) if parent else 0
         tables: dict[str, dict[str, Any]] = {}
 
+        import pyarrow.parquet as _pq
+
         def _scan(path: str) -> list[dict[str, Any]]:
+            """Per-partition (per-data-file) lineage metrics: bytes from
+            the filesystem, rows from the parquet footer — no Spark job.
+            This is the manifest's north_rule surface: every data file a
+            snapshot references carries its own row/byte accounting."""
             out = []
             for dirpath, _, fnames in os.walk(path):
-                for fn in fnames:
+                for fn in sorted(fnames):
                     if fn.endswith(".parquet"):
                         fp = os.path.join(dirpath, fn)
+                        try:
+                            nrows = _pq.ParquetFile(fp).metadata.num_rows
+                        except Exception:
+                            nrows = -1
                         out.append(
                             {
                                 "file": os.path.relpath(fp, self.root),
                                 "bytes": os.path.getsize(fp),
+                                "rows": nrows,
                             }
                         )
             return out
+
+        def _lineage(name: str, files: list[dict[str, Any]]) -> dict[str, Any]:
+            """File-level diff vs the parent snapshot (Iceberg's
+            added/existing split): resume auditing reads this to see
+            exactly which partitions each commit contributed."""
+            prev = set()
+            if parent is not None and name in parent.tables:
+                prev = {f["file"] for f in parent.tables[name].get("files", [])}
+            cur = {f["file"] for f in files}
+            return {
+                "added": sorted(cur - prev),
+                "removed": sorted(prev - cur),
+                "existing": len(cur & prev),
+            }
 
         for name, df in dfs.items():
             if isinstance(df, list):
                 rels = [os.path.relpath(p, self.root) for p in df]
                 files = [f for p in df for f in _scan(p)]
-                tables[name] = {"paths": rels, "rows": -1, "files": files}
+                rows = sum(f["rows"] for f in files) if files else 0
+                tables[name] = {
+                    "paths": rels, "rows": rows, "files": files,
+                    "lineage": _lineage(name, files),
+                }
                 continue
             rel = os.path.join("data", f"snap-{sid:06d}", name)
             path = os.path.join(self.root, rel)
@@ -129,8 +158,11 @@ class IceliteCatalog:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
                 files = _scan(path)
-                rows = df.sparkSession.read.parquet(path).count() if files else 0
-            tables[name] = {"path": rel, "rows": rows, "files": files}
+                rows = sum(f["rows"] for f in files) if files else 0
+            tables[name] = {
+                "path": rel, "rows": rows, "files": files,
+                "lineage": _lineage(name, files),
+            }
         snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
 
         mrel = os.path.join("manifests", f"snapshot-{sid:06d}.json")

@@ -169,7 +169,8 @@ def admit(
                 all_new_rows.select("url_hash"), "url_hash", "left_anti"
             )
         fresh = materialize(fresh, "adm_fresh")
-        if fresh.isEmpty():
+        n_fresh = fresh.count()
+        if n_fresh == 0:
             break
 
         # new-domain discovery: fetch robots for domains without rules
@@ -196,17 +197,25 @@ def admit(
         eff_rules = rules.union(all_new_rules) if all_new_rules is not None else rules
         gated = R.robots_gate(fresh, eff_rules, "path")
 
-        # assign discovery_seq in admission order. A global row_number is
-        # a single-partition sort — but ONLY over this round's candidate
-        # batch (bounded by quota x fan-out, not frontier size), and it is
-        # the determinism anchor for FIFO replay. assign_seq (two-phase
-        # range rank) is available for giant batches; measured slower
-        # below ~1M candidates per round.
-        w_seq = Window.orderBy("parent_seq", "link_pos", "sub_pos")
-        rows = gated.withColumn(
-            "discovery_seq",
-            (F.lit(seq) + F.row_number().over(w_seq) - 1).cast("long"),
-        ).withColumn(
+        # assign discovery_seq in admission order. Batch-size switch: a
+        # global row_number (single-partition sort) is fastest below
+        # ~200k candidates/round; above that, assign_seq's two-phase
+        # range-rank keeps the sort parallel (both produce the identical
+        # sequence — the order key is data-derived and unique, so the
+        # result is independent of partitioning; the parallelism-
+        # invariance test runs with the two-phase path forced on).
+        seq_threshold = int(config.extra.get("seq_two_phase_threshold", 200_000))
+        if n_fresh > seq_threshold:
+            rows = assign_seq(
+                gated, ["parent_seq", "link_pos", "sub_pos"], seq, materialize
+            )
+        else:
+            w_seq = Window.orderBy("parent_seq", "link_pos", "sub_pos")
+            rows = gated.withColumn(
+                "discovery_seq",
+                (F.lit(seq) + F.row_number().over(w_seq) - 1).cast("long"),
+            )
+        rows = rows.withColumn(
             "status",
             F.when(F.col("robots_allowed"), F.lit("pending")).otherwise(
                 F.lit("robots_blocked")

@@ -82,6 +82,7 @@ def similarity_hits(
     bad: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     count_threshold: int = SIMILAR_COUNT,
+    broadcast_bad: bool = True,
 ) -> DataFrame:
     """One-pass variant: (url, kind) rows for every scheduled URL that is
     Jaccard-similar to >= count_threshold bad URLs of that kind — the
@@ -89,7 +90,12 @@ def similarity_hits(
     (the reference checks them sequentially, worker.py:59-72; the checks
     are independent predicates over disjoint sets, so one pass with a
     kind-grouped count is semantically identical; 'low_data' outranks
-    'error' downstream exactly as the sequential order would)."""
+    'error' downstream exactly as the sequential order would).
+
+    ``broadcast_bad``: the bad-URL memory grows monotonically over a
+    crawl; the engine flips this off once the memory crosses its
+    broadcast budget so the plan degrades to a shuffled hash join on
+    ``host`` instead of an ever-growing broadcast."""
     s = scheduled.select(
         F.col("url").alias("s_url"), "host", F.col("sim_tokens").alias("s_tok")
     )
@@ -98,7 +104,7 @@ def similarity_hits(
     union = F.size(F.array_union(F.col("s_tok"), F.col("b_tok")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
     return (
-        s.join(F.broadcast(b), "host")
+        s.join(F.broadcast(b) if broadcast_bad else b, "host")
         .filter(jac >= threshold)
         .groupBy("s_url", "kind")
         .count()

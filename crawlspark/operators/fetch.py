@@ -84,7 +84,14 @@ def fetch_and_route(scheduled: DataFrame, pages: DataFrame, config: CrawlConfig)
         ]
     ]
     joined = fetched.unionByName(missing.select("*", *null_page))
+    return route_verdict(joined, config)
 
+
+def route_verdict(joined: DataFrame, config: CrawlConfig) -> DataFrame:
+    """The routing verdict (worker.py:89-146) over a fetched frame with
+    columns (http_status, content_type, content_length, caption,
+    out_links, …) — shared by the corpus fetch join above and the live
+    HTTP path (operators/httpfetch.live_fetch_and_route)."""
     ctoks = X.content_tokens(F.col("caption"))
     parsedable = (
         F.col("http_status").isNotNull()

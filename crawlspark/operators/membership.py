@@ -124,10 +124,21 @@ class BloomSeenFilter:
 
         def per_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             keys_np = left[key_col].to_numpy(dtype=np.int64)
-            if right.empty or right["filter"].iloc[0] is None:
+            # OR-merge every filter row for the bucket: a caller passing an
+            # un-merged state ∪ delta frame must never cause a false
+            # negative (the module's exactness contract)
+            blobs = (
+                [bytes(b) for b in right["filter"] if b is not None]
+                if not right.empty
+                else []
+            )
+            if not blobs:
                 seen = np.zeros(len(keys_np), dtype=bool)
             else:
-                seen = _probe_blob(keys_np, bytes(right["filter"].iloc[0]), m_bits, k)
+                acc = np.frombuffer(blobs[0], dtype=np.uint8).copy()
+                for b in blobs[1:]:
+                    acc |= np.frombuffer(b, dtype=np.uint8)
+                seen = _probe_blob(keys_np, acc.tobytes(), m_bits, k)
             return pd.DataFrame({key_col: keys_np, "maybe_seen": seen})
 
         # cogroup: the filter blob crosses Arrow ONCE per bucket, never

@@ -36,11 +36,15 @@ def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
     if quota_per_domain == 1:
         # K=1: per-domain min(seq) is a hash aggregate (map-side partial →
         # tiny shuffle), then a semi-join back — no full-frontier window.
+        # NO forced broadcast: `heads` is one row per domain, which at the
+        # north_rule's 10^8+ domains is a multi-GB build side. AQE picks
+        # broadcast when heads is actually small and a shuffled hash join
+        # otherwise (skew-split if a salted key ever funnels).
         heads = pending.groupBy("registered_domain").agg(
             F.min("discovery_seq").alias("discovery_seq")
         )
         return pending.join(
-            F.broadcast(heads), ["registered_domain", "discovery_seq"], "left_semi"
+            heads, ["registered_domain", "discovery_seq"], "left_semi"
         )
     # K>1: salted two-phase top-K (north_rule hot-domain skew handling).
     # Phase 1 ranks within (domain, salt) — the hot domain's pending rows

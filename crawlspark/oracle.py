@@ -203,7 +203,7 @@ class OracleCrawl:
             n_low = sum(
                 1
                 for u, t in self.low_bad.items()
-                if urlparse(u).netloc == urlparse(row.url).netloc
+                if (urlparse(u).hostname or "").lower() == row.host
                 and jaccard_py(toks, t) >= cfg.jaccard_threshold
             )
             if n_low >= cfg.jaccard_similar_count:
@@ -213,7 +213,7 @@ class OracleCrawl:
             n_err = sum(
                 1
                 for u, t in self.err_bad.items()
-                if urlparse(u).netloc == urlparse(row.url).netloc
+                if (urlparse(u).hostname or "").lower() == row.host
                 and jaccard_py(toks, t) >= cfg.jaccard_threshold
             )
             if n_err >= cfg.jaccard_similar_count:

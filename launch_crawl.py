@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--quota", type=int, default=1, help="URLs per registered domain per round")
     ap.add_argument("--pace", action="store_true", help="wall-clock politeness pacing between rounds")
     ap.add_argument("--delay", type=float, default=1.0, help="politeness delay seconds (with --pace)")
+    ap.add_argument(
+        "--allow-pattern", action="append", default=None,
+        help="anchored regex a URL must match to be admitted (repeatable); "
+        "defaults to the synthetic-corpus .example patterns",
+    )
     ap.add_argument("--checkpoint-interval", type=int, default=5)
     ap.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--report", action="store_true", help="print the crawl report JSON at the end")
@@ -42,7 +47,7 @@ def main() -> None:
 
     spark = get_spark("crawlspark", master=args.master)
     cfg = CrawlConfig(
-        allowed_url_patterns=ALLOWED_PATTERNS,
+        allowed_url_patterns=tuple(args.allow_pattern) if args.allow_pattern else ALLOWED_PATTERNS,
         per_domain_quota=args.quota,
         politeness_delay_s=args.delay,
     )

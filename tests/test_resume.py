@@ -33,3 +33,24 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     eb = {r["url"]: r["status"] for r in b2.all_rows().select("url", "status").collect()}
     assert ea == eb
     assert crawl_report(a.all_rows(), a.pages) == crawl_report(b2.all_rows(), b2.pages)
+
+    # per-partition lineage + metrics survive the resume (north_rule):
+    # every data file in the final manifest carries rows+bytes, table rows
+    # equal the sum of file rows, append-only tables record added files
+    # per commit, and per-round fetch/parse metrics ride in meta
+    snap = b2.catalog.latest()
+    for name, info in snap.tables.items():
+        files = info.get("files", [])
+        for f in files:
+            assert f["bytes"] > 0 and f["rows"] >= 0, (name, f)
+        assert info["rows"] == sum(f["rows"] for f in files)
+        assert "lineage" in info
+    comp = snap.tables["completed"]
+    assert comp["lineage"]["existing"] + len(comp["lineage"]["added"]) == len(
+        comp["files"]
+    )
+    assert comp["rows"] == b2.completed.count()
+    rounds_meta = snap.meta["rounds"]
+    assert rounds_meta and all(
+        "scheduled" in r and "by_status" in r for r in rounds_meta
+    )
