@@ -678,10 +678,6 @@ def oracle_sql() -> dict[str, str]:
         "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
         "i -> ('0x'||substr(md5(substr(t, i::INT, 8)),1,15))::BIGINT))"
     )
-    minhash_sig = ", ".join(
-        "list_min(list_transform(shs, s -> ('0x'||substr(md5(s || '#{i}'),1,15))::BIGINT))".format(i=i)
-        for i in range(DD.MINHASH_K)
-    )
     shingles = (
         "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
         "for i in range(1, greatest(len(l)-2, 0)+1)]) "

@@ -137,6 +137,8 @@ def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
             links.append(f"https://{hosts[i]}/files/doc{i}.pdf") # blocked ext (F3)
         if r == 25:
             links.append(f"https://{hosts[i]}/p?utm_source=x&i={i}")  # trap T5
+        if r in (26, 27):
+            links.append(f"https://{hosts[i]}/p?q=a%20b+{i}&k%3D=v")  # %-escapes (parse_qs twin)
         out_links.append(links)
 
     # statuses / content metadata (F4/F5/F9 fixtures)
@@ -199,31 +201,56 @@ def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
         }
     )
 
-    # robots: every domain disallows /private/ and /admin/, allows
-    # /admin/public/ (precedence per ref robot_parser.py:39-46); every 3rd
-    # domain lists a sitemap.
+    # robots: most domains disallow /private/ and /admin/, allow
+    # /admin/public/ (precedence per ref robot_parser.py:39-46); every 7th
+    # domain (k%7==5) serves a DIRECTIVE-LESS robots.txt (the known-domain
+    # sentinel case — must be probed exactly once and its sitemap still
+    # expanded); every 3rd domain lists a sitemap, and every 6th domain's
+    # root sitemap is a sitemapINDEX of sub-sitemaps (wp-sitemap fixture
+    # shape, ref tests/worker_test.py:207-217) exercising S7 recursion.
+    def _urlset(members: list[str]) -> str:
+        locs = "".join(f"<url><loc>{u}</loc></url>" for u in members)
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</urlset>"
+        )
+
     rob_rows = []
     sitemap_rows = []
     for k in range(d):
         dom = _domain(k)
-        body = (
-            "User-agent: *\n"
-            "Disallow: /private/\n"
-            "Disallow: /admin/\n"
-            "Allow: /admin/public/\n"
-        )
+        if k % 7 == 5:
+            body = "# no directives here\n"
+        else:
+            body = (
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Disallow: /admin/\n"
+                "Allow: /admin/public/\n"
+            )
         if k % 3 == 0:
             sm_url = f"https://{dom}/wp-sitemap.xml"
             body += f"Sitemap: {sm_url}\n"
-            # sitemap lists up to 10 of this domain's pages (incl. orphans)
+            # sitemap covers up to 10 of this domain's pages (incl. orphans)
             members = [canon_urls[i] for i in range(n) if dom_of[i] == k][:10]
-            locs = "".join(f"<url><loc>{u}</loc></url>" for u in members)
-            xml = (
-                '<?xml version="1.0" encoding="UTF-8"?>'
-                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                f"{locs}</urlset>"
-            )
-            sitemap_rows.append((dom, sm_url, xml))
+            if k % 6 == 0 and len(members) >= 2:
+                half = (len(members) + 1) // 2
+                subs = [("posts-1", members[:half]), ("users-1", members[half:])]
+                sub_urls = []
+                for name, mem in subs:
+                    sub_url = f"https://{dom}/wp-sitemap-{name}.xml"
+                    sitemap_rows.append((dom, sub_url, _urlset(mem)))
+                    sub_urls.append(sub_url)
+                idx = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in sub_urls)
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    f"{idx}</sitemapindex>"
+                )
+                sitemap_rows.append((dom, sm_url, xml))
+            else:
+                sitemap_rows.append((dom, sm_url, _urlset(members)))
         rob_rows.append((dom, body))
 
     robots = pa.table(

@@ -85,6 +85,7 @@ RULES_SCHEMA = _schema(
         ("registered_domain", T.StringType()),
         ("rule_type", T.StringType()),
         ("value", T.StringType()),
+        ("rule_pos", T.IntegerType()),
     ]
 )
 
@@ -160,6 +161,7 @@ class CrawlEngine:
             # live-HTTP mode (extra['fetch_mode']='http'): no corpus tables;
             # robots/sitemaps must be passed in (or stay empty)
             self.pages = None
+            self.pages_bucketed = False
             self.robots_bodies = self._robots_df if self._robots_df is not None else s.createDataFrame(
                 [], "registered_domain string, body string"
             )
@@ -170,16 +172,32 @@ class CrawlEngine:
         else:
             pages = s.read.parquet(f"{self.corpus_dir}/pages.parquet")
         # index the corpus once by the engine's scheme-excluded 64-bit key
-        self.pages = (
-            pages.withColumn(
-                "page_hash", U.url_hash64(U.canonicalize(F.col("canonical_url")))
-            )
-            .select(
-                "page_hash", "status", "redirect_to", "content_type",
-                "content_length", "caption", "out_links", "canonical_url",
-            )
-            .persist()
+        pages_keyed = pages.withColumn(
+            "page_hash", U.url_hash64(U.canonicalize(F.col("canonical_url")))
+        ).select(
+            "page_hash", "status", "redirect_to", "content_type",
+            "content_length", "caption", "out_links", "canonical_url",
         )
+        self.pages_bucketed = bool(self.config.extra.get("bucket_pages"))
+        if self.pages_bucketed:
+            # Hash-bucketed layout (icelite-style): pages written ONCE
+            # partitioned by pbucket = pmod(page_hash, frontier_buckets).
+            # Each round's fetch join filters on the buckets the scheduled
+            # keys actually touch → partition pruning at the scan (at 100 TB
+            # this is the difference between re-reading the corpus every
+            # politeness round and reading only the touched fraction).
+            b = self.config.frontier_buckets
+            path = os.path.join(self.catalog.root, "pages_bucketed")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                pages_keyed.withColumn(
+                    "pbucket", F.pmod(F.col("page_hash"), F.lit(b)).cast("int")
+                ).write.partitionBy("pbucket").mode("overwrite").parquet(path)
+            # persist: locally the pruned scan hits the cache (per-batch
+            # stats pruning); on a real cluster drop the persist and the
+            # same plan prunes parquet partitions
+            self.pages = s.read.parquet(path).persist()
+        else:
+            self.pages = pages_keyed.persist()
         if self._robots_df is not None:
             self.robots_bodies = self._robots_df.persist()
         else:
@@ -189,9 +207,12 @@ class CrawlEngine:
         if self._sitemaps_df is not None:
             self.sitemap_xml = self._sitemaps_df
         else:
-            self.sitemap_xml = s.read.parquet(f"{self.corpus_dir}/sitemaps.parquet").select(
-                F.col("domain").alias("registered_domain"), "xml"
-            ).persist()
+            sm = s.read.parquet(f"{self.corpus_dir}/sitemaps.parquet")
+            cols = [F.col("domain").alias("registered_domain")]
+            if "url" in sm.columns:
+                # by-URL addressing enables sitemapindex recursion (S7)
+                cols.append(F.col("url"))
+            self.sitemap_xml = sm.select(*cols, "xml").persist()
 
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
@@ -478,7 +499,17 @@ class CrawlEngine:
                 "routed0",
             )
         else:
-            routed0 = self._mat(FE.fetch_and_route(fetch_in, self.pages, cfg), "routed0")
+            pages_src = self.pages
+            if self.pages_bucketed:
+                touched = [
+                    r["pb"]
+                    for r in sched.select(
+                        F.pmod(F.col("url_hash"), F.lit(cfg.frontier_buckets))
+                        .cast("int").alias("pb")
+                    ).distinct().collect()
+                ]
+                pages_src = self.pages.filter(F.col("pbucket").isin(touched))
+            routed0 = self._mat(FE.fetch_and_route(fetch_in, pages_src, cfg), "routed0")
         sh = self._mat(
             FE.batch_simhash(routed0.filter(F.col("route") == "parse")), "sh"
         )

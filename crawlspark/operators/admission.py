@@ -32,6 +32,7 @@ across parallelism levels (SURVEY.md §4.3.4).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -147,7 +148,13 @@ def admit(
             break
         keyed = with_url_keys(validate(batch, config))
         # batch-dedup: first occurrence (reference admission order) wins
-        w = Window.partitionBy("url_hash").orderBy("parent_seq", "link_pos", "sub_pos")
+        # raw_url tie-break: (parent_seq, link_pos, sub_pos) is unique for
+        # link/redirect/seed candidates but legacy multi-doc sitemap
+        # fixtures can collide — the oracle's sort breaks ties on the raw
+        # URL, so the windows must too
+        w = Window.partitionBy("url_hash").orderBy(
+            "parent_seq", "link_pos", "sub_pos", "raw_url"
+        )
         deduped = (
             keyed.withColumn("_occ", F.row_number().over(w))
             .filter(F.col("_occ") == 1)
@@ -182,9 +189,15 @@ def admit(
             .distinct()
             .join(known, "registered_domain", "left_anti")
         )
+        # LEFT join: a domain with no robots.txt row still gets probed
+        # (empty body → 'probed' sentinel only) — the oracle's
+        # robots.get(domain, "") twin; an inner join would re-probe such
+        # domains on every pass forever
         new_rules = materialize(
             R.parse_robots(
-                new_doms.join(robots_bodies, "registered_domain"), config.user_agent
+                new_doms.join(robots_bodies, "registered_domain", "left")
+                .withColumn("body", F.coalesce(F.col("body"), F.lit(""))),
+                config.user_agent,
             ),
             "adm_rules",
         )
@@ -207,10 +220,10 @@ def admit(
         seq_threshold = int(config.extra.get("seq_two_phase_threshold", 200_000))
         if n_fresh > seq_threshold:
             rows = assign_seq(
-                gated, ["parent_seq", "link_pos", "sub_pos"], seq, materialize
+                gated, ["parent_seq", "link_pos", "sub_pos", "raw_url"], seq, materialize
             )
         else:
-            w_seq = Window.orderBy("parent_seq", "link_pos", "sub_pos")
+            w_seq = Window.orderBy("parent_seq", "link_pos", "sub_pos", "raw_url")
             rows = gated.withColumn(
                 "discovery_seq",
                 (F.lit(seq) + F.row_number().over(w_seq) - 1).cast("long"),
@@ -230,24 +243,102 @@ def admit(
         seq += n
         all_new_rows = rows if all_new_rows is None else all_new_rows.union(rows)
 
-        # sitemap expansion for the new domains (S7): locs become a new
-        # candidate batch ordered AFTER everything admitted so far, in
-        # (domain lexicographic, loc position) order — fully data-derived
-        # so the seq assignment is stable across parallelism levels.
-        # No newly-discovered robots → no Sitemap lines → skip the pass
-        # (a domain without robots.txt has nothing to expand, matching the
-        # reference's get_sitemap_urls_from_robots_txt contract).
+        # sitemap expansion for the new domains (S7 + sitemapindex
+        # recursion): page locs become a new candidate batch ordered AFTER
+        # everything admitted so far. `no_new_rules` now means "no new
+        # domains probed" — every probed domain emits a 'probed' sentinel
+        # row, so rule-less domains are tracked and expanded exactly once
+        # too (they were previously re-probed forever and never expanded).
         if no_new_rules:
             break
+        batch = expand_sitemaps(new_rules, sitemap_xml, materialize, seq)
+
+    return AdmissionResult(new_rows=all_new_rows, new_rules=all_new_rules)
+
+
+# a loc that IS a sitemap document rather than a page (frozen spec)
+SITEMAP_LOC_REGEX = r"(?i)\.xml($|\?)"
+# docs levels followed: root + children + grandchildren (wp-sitemap
+# index fixtures are depth 2; ref tests/worker_test.py:207-217)
+SITEMAP_MAX_LEVELS = 3
+
+
+def expand_sitemaps(new_rules: DataFrame, sitemap_xml: DataFrame,
+                    materialize, seq: int) -> DataFrame:
+    """Candidate batch from the new domains' sitemaps.
+
+    By-URL mode (sitemap_xml carries a ``url`` column — the corpus "web"
+    serves sitemap documents addressable by URL): start from the robots
+    ``Sitemap:`` lines (rule rows, in body order), fetch each document,
+    and recurse into sitemapindex entries — any <loc> matching
+    SITEMAP_LOC_REGEX is fetched and re-parsed as a sitemap (depth-
+    bounded DFS), everything else is a page candidate. Ordering is the
+    DFS path key (root rule_pos, then loc positions, fixed-width), fully
+    data-derived → stable at any parallelism.
+
+    Legacy mode (no ``url`` column): every stored XML for a new domain is
+    parsed flat — the pre-index behavior, kept for by-domain fixtures.
+
+    The conformance oracle (crawlspark.oracle._sitemap_page_locs)
+    re-implements the identical traversal."""
+    if "url" in sitemap_xml.columns:
+        requests = new_rules.filter(F.col("rule_type") == "sitemap").select(
+            "registered_domain",
+            F.col("value").alias("url"),
+            F.lpad(F.col("rule_pos").cast("string"), 4, "0").alias("path"),
+        )
+        page_parts: list[DataFrame] = []
+        for level in range(SITEMAP_MAX_LEVELS):
+            if requests.isEmpty():
+                break
+            docs = requests.join(sitemap_xml, ["registered_domain", "url"])
+            locs = materialize(
+                R.parse_sitemaps(docs, extra_cols=("path",)), f"sm_locs_{level}"
+            )
+            child = F.concat(
+                F.col("path"), F.lit("."),
+                F.lpad(F.col("loc_pos").cast("string"), 4, "0"),
+            )
+            is_sm = F.col("loc").rlike(SITEMAP_LOC_REGEX)
+            requests = locs.filter(is_sm).select(
+                "registered_domain", F.col("loc").alias("url"), child.alias("path")
+            )
+            page_parts.append(
+                locs.filter(~is_sm).select(
+                    "registered_domain", child.alias("path"), "loc"
+                )
+            )
+        if not page_parts:
+            return new_rules.sparkSession.createDataFrame([], _CAND_SCHEMA)
+        pages = reduce(DataFrame.unionByName, page_parts)
+    else:
+        new_doms = (
+            new_rules.filter(F.col("rule_type") == "probed")
+            .select("registered_domain").distinct()
+        )
         locs = R.parse_sitemaps(new_doms.join(sitemap_xml, "registered_domain"))
-        dom_rank = F.dense_rank().over(Window.orderBy("registered_domain"))
-        batch = locs.withColumn("dom_rank", dom_rank).select(
+        pages = locs.select(
+            "registered_domain",
+            F.lpad(F.col("loc_pos").cast("string"), 8, "0").alias("path"),
+            "loc",
+        )
+    w_dom = Window.orderBy("registered_domain")
+    w_sub = Window.partitionBy("registered_domain").orderBy("path", "loc")
+    return (
+        pages.withColumn("dom_rank", F.dense_rank().over(w_dom))
+        .withColumn("sub_pos", F.row_number().over(w_sub))
+        .select(
             F.col("loc").alias("raw_url"),
             F.lit(0).alias("depth"),
             F.lit("sitemap").alias("src"),
             (F.lit(seq) + F.col("dom_rank")).cast("long").alias("parent_seq"),
             F.lit(0).alias("link_pos"),
-            F.col("loc_pos").alias("sub_pos"),
+            F.col("sub_pos"),
         )
+    )
 
-    return AdmissionResult(new_rows=all_new_rows, new_rules=all_new_rules)
+
+_CAND_SCHEMA = (
+    "raw_url string, depth int, src string, "
+    "parent_seq long, link_pos int, sub_pos int"
+)

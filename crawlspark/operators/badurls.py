@@ -8,9 +8,11 @@ is 0 across different netlocs (worker.py:160-162).
 
 Engine form: each URL carries a precomputed ``sim_tokens`` array (set
 elements rendered as strings); the check is an equi-join on ``host``
-(netloc) followed by ``array_intersect``/``array_union`` size arithmetic
-and a group-count — no UDF. The reference's parse_qs percent-decoding is
-NOT reproduced (corpus URLs carry no %-escapes; documented deviation).
+(lowercased hostname) followed by ``array_intersect``/``array_union``
+size arithmetic and a group-count — no UDF. Query keys/values are
+percent-decoded like the reference's parse_qs (``_qdec`` /
+``_qdec_py``, frozen spec in their docstrings); path segments stay raw,
+matching urlparse().path.split('/').
 """
 
 from __future__ import annotations
@@ -26,15 +28,28 @@ JACCARD_THRESHOLD = 0.95  # ref worker.py:174
 SIMILAR_COUNT = 5         # ref worker.py:174
 
 
+def _qdec(c: Column) -> Column:
+    """parse_qs-style component decode (frozen spec): '+'→space and
+    %-escapes decoded when the whole component is well-formed
+    (try_url_decode), raw otherwise; invalid UTF-8 bytes become U+FFFD —
+    mirroring the reference's parse_qs at crawler/worker.py:157-165.
+    Applied to query keys/values only; path segments stay raw (the
+    reference splits urlparse().path undecoded)."""
+    return F.coalesce(F.try_url_decode(c), c)
+
+
 def sim_tokens(url: Column) -> Column:
     """Set elements of the reference's Jaccard: distinct path segments
     (INCLUDING the empty segments produced by ``'/a/b'.split('/')``) plus
-    one 'k(v1,v2)' token per query key (values grouped in first-appearance
-    order, parse_qs-style; blank values dropped)."""
+    one 'k(v1,v2)' token per query key (keys/values percent-decoded,
+    values grouped in first-appearance order, parse_qs-style; blank
+    values dropped)."""
     path_parts = F.array_distinct(F.split(U.path(url), "/"))
     q = U.query(url)
     kvs = F.filter(F.split(q, "&"), lambda kv: kv.rlike("^[^=]+=.+"))
-    keys = F.array_distinct(F.transform(kvs, lambda kv: F.substring_index(kv, "=", 1)))
+    keys = F.array_distinct(
+        F.transform(kvs, lambda kv: _qdec(F.substring_index(kv, "=", 1)))
+    )
     qtokens = F.transform(
         keys,
         lambda k: F.concat(
@@ -43,14 +58,34 @@ def sim_tokens(url: Column) -> Column:
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.filter(kvs, lambda kv: F.substring_index(kv, "=", 1) == k),
-                    lambda kv: F.substr(kv, F.instr(kv, "=") + 1, F.length(kv)),
+                    F.filter(
+                        kvs,
+                        lambda kv: _qdec(F.substring_index(kv, "=", 1)) == k,
+                    ),
+                    lambda kv: _qdec(
+                        F.substr(kv, F.instr(kv, "=") + 1, F.length(kv))
+                    ),
                 ),
             ),
             F.lit(")"),
         ),
     )
     return F.array_union(path_parts, qtokens)
+
+
+import re as _re
+from urllib.parse import unquote_to_bytes as _unquote_to_bytes
+
+_BAD_ESCAPE = _re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+def _qdec_py(s: str) -> str:
+    """Twin of ``_qdec``: raw if any %-escape is malformed (Spark
+    try_url_decode → NULL → coalesce raw), else decoded with '+'→space
+    and invalid UTF-8 → U+FFFD (java URLDecoder replaces)."""
+    if _BAD_ESCAPE.search(s):
+        return s
+    return _unquote_to_bytes(s.replace("+", " ")).decode("utf-8", errors="replace")
 
 
 def sim_tokens_py(url: str) -> set[str]:
@@ -62,6 +97,7 @@ def sim_tokens_py(url: str) -> set[str]:
     vals: dict[str, list[str]] = {}
     for kv in kvs:
         k, v = kv.split("=", 1)
+        k, v = _qdec_py(k), _qdec_py(v)
         if k not in vals:
             keys.append(k)
             vals[k] = []

@@ -31,6 +31,16 @@ MINHASH_K = 32
 MINHASH_BANDS = 16  # rows per band = 2
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file guard: a sub-128MB parquet input arrives as ONE
+    partition and serializes every downstream expression onto one core
+    (the sf0.1 bench read 5000 docs as a single task). Spread the input
+    across the cluster's cores before the expression-heavy stages; the
+    shuffle moves only the raw rows once."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def text_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column."""
     return F.array_distinct(word_ngrams(tokens(text), n))
@@ -69,9 +79,13 @@ def ngram_jaccard_pairs(
 
     |A∩B| from the equi-join group count; |A∪B| = |A|+|B|−|A∩B| from
     per-doc shingle counts — never a cross join."""
+    df = _spread(df)
+    # persisted: sh feeds the inverted-index join twice (a/b aliases) and
+    # the per-doc size aggregate — without it the shingle expression tree
+    # re-evaluates once per branch
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
-    )
+    ).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
@@ -95,18 +109,52 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature_from(sh: Column, k: int = MINHASH_K) -> Column:
-    """Array of k min-hashes over a (pre-computed) shingle array column:
-    min over shingles of md5_int60(shingle ∥ seed). Salted-hash minima
-    instead of affine permutations — identical semantics, and
-    byte-reproducible in the DuckDB oracle. Take ``sh`` from a bound
-    column (withColumn) so the shingle array is computed once per row,
-    not once per hash."""
-    return F.array(
+# Affine minhash family over the Mersenne prime 2^31-1: ONE md5 per
+# shingle (base = md5_int60(s) % P), then k cheap (a·base+b) % P minima.
+# The salted-md5-per-permutation variant costs k md5s per shingle — 32x
+# the hashing — and dominated the sf0.1 bench (52 s); this family is the
+# standard a·x+b mod p permutation approximation, byte-reproducible in
+# DuckDB (all int64 arithmetic, products < 2^62 so neither engine
+# overflows). Constants derive from a fixed LCG so both engines inline
+# identical literals.
+MINHASH_PRIME = 2147483647
+
+
+def _mh_constants(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    out, x = [], 88172645463325252
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = x % (MINHASH_PRIME - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+MINHASH_AB = _mh_constants()
+
+
+def minhash_signatures(base: DataFrame, id_col: str = "doc",
+                       shingle_col: str = "shs", k: int = MINHASH_K) -> DataFrame:
+    """(doc, h0..h{k-1}) minhash signature table via explode + one hash
+    aggregate. Deliberately NOT array higher-order functions: transform/
+    array_min lambdas are interpreted per element (no whole-stage
+    codegen) and measured ~100x slower than this shape — explode to one
+    row per (doc, shingle), k plain arithmetic projections (codegen'd),
+    map-side partial min, tiny shuffle keyed by doc."""
+    ex = base.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(shingle_col)).alias("s")
+    ).select(
+        "doc", F.pmod(md5_int60(F.col("s")), F.lit(MINHASH_PRIME)).alias("b")
+    )
+    return ex.groupBy("doc").agg(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: md5_int60(F.concat(s, F.lit(f"#{i}"))))
-            )
+            F.min(
+                F.pmod(
+                    F.lit(MINHASH_AB[i][0]) * F.col("b") + F.lit(MINHASH_AB[i][1]),
+                    F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"h{i}")
             for i in range(k)
         ]
     )
@@ -127,17 +175,21 @@ def minhash_lsh_pairs(
     by banding (P(miss) ≤ (1−τ^(k/bands))^bands — negligible for τ ≥ 0.5
     with k=32, b=16)."""
     rows = k // bands
+    df = _spread(df)
+    # persisted: base feeds the signature AND both sides of the verify
+    # join; banded self-joins against itself — each would otherwise
+    # re-evaluate the whole shingle/signature expression tree per branch
     base = df.select(
         F.col(id_col).alias("doc"), text_shingles(F.col(text_col), n).alias("shs")
-    )
-    sig = base.select("doc", minhash_signature_from(F.col("shs"), k).alias("sig"))
+    ).persist()
+    sig = minhash_signatures(base, "doc", "shs", k)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(
                     F.concat_ws(
-                        ":", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+                        ":", *[F.col(f"h{b * rows + r}") for r in range(rows)]
                     )
                 ).alias("band_key"),
             )
@@ -146,7 +198,7 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("doc", F.explode(band_structs).alias("bk")).select(
         "doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
-    )
+    ).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])

@@ -31,19 +31,26 @@ from pyspark.sql import types as T
 _RULES_SCHEMA = T.StructType(
     [
         T.StructField("registered_domain", T.StringType()),
-        T.StructField("rule_type", T.StringType()),  # allow|disallow|sitemap
+        T.StructField("rule_type", T.StringType()),  # allow|disallow|sitemap|probed
         T.StructField("value", T.StringType()),
+        T.StructField("rule_pos", T.IntegerType()),  # body directive order
     ]
 )
 
 
-def parse_robots_py(domain: str, body: str, user_agent: str = "*") -> list[tuple[str, str, str]]:
+def parse_robots_py(
+    domain: str, body: str, user_agent: str = "*"
+) -> list[tuple[str, str, str, int]]:
     """Pure-Python twin of the reference parse (robot_parser.py:9-36).
-    Returns (domain, rule_type, value) rows. Emits a ('nofetch' sentinel?)
-    no — domains with empty/absent robots simply produce no rows (can_fetch
-    then allows everything, matching an empty parser)."""
-    rows: list[tuple[str, str, str]] = []
+    Returns (domain, rule_type, value, rule_pos) rows; rule_pos preserves
+    body directive order (sitemap expansion follows Sitemap lines in
+    order). EVERY parsed domain additionally emits a ('probed', '', -1)
+    sentinel so the rules table doubles as the known-domains set — a
+    domain whose robots yields zero directives must never be re-probed
+    (and its corpus sitemap must still be expanded once)."""
+    rows: list[tuple[str, str, str, int]] = [(domain, "probed", "", -1)]
     current_ua = None
+    pos = 0
     for line in (body or "").split("\n"):
         line = line.split("#", 1)[0].strip()
         if not line:
@@ -55,12 +62,15 @@ def parse_robots_py(domain: str, body: str, user_agent: str = "*") -> list[tuple
         if directive == "user-agent":
             current_ua = value
         elif directive == "sitemap":
-            rows.append((domain, "sitemap", value))
+            rows.append((domain, "sitemap", value, pos))
+            pos += 1
         elif current_ua == user_agent or current_ua == "*":
             if directive == "allow" and value:
-                rows.append((domain, "allow", value))
+                rows.append((domain, "allow", value, pos))
+                pos += 1
             elif directive == "disallow" and value:
-                rows.append((domain, "disallow", value))
+                rows.append((domain, "disallow", value, pos))
+                pos += 1
     return rows
 
 
@@ -69,10 +79,12 @@ def parse_robots(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[tuple[str, str, str]] = []
+            out: list[tuple[str, str, str, int]] = []
             for dom, body in zip(pdf["registered_domain"], pdf["body"]):
                 out.extend(parse_robots_py(dom, body, user_agent))
-            yield pd.DataFrame(out, columns=["registered_domain", "rule_type", "value"])
+            yield pd.DataFrame(
+                out, columns=["registered_domain", "rule_type", "value", "rule_pos"]
+            )
 
     return bodies.select("registered_domain", "body").mapInPandas(gen, _RULES_SCHEMA)
 
@@ -114,32 +126,33 @@ def robots_gate(candidates: DataFrame, rules: DataFrame, path_col: str = "path")
     ).fillna({"robots_allowed": True})
 
 
-_SITEMAP_SCHEMA = T.StructType(
-    [
-        T.StructField("registered_domain", T.StringType()),
-        T.StructField("loc", T.StringType()),
-        T.StructField("loc_pos", T.IntegerType()),
-    ]
-)
-
-
 def parse_sitemap_py(xml: str) -> list[str]:
-    """<loc> extraction; handles urlset and nested sitemapindex is NOT
-    followed here (expansion loop handles it via re-join)."""
+    """<loc> extraction — works for both <urlset> and <sitemapindex>
+    documents (the caller decides whether a loc is a page or another
+    sitemap to fetch; see operators/admission.expand_sitemaps)."""
     import re as _re
 
     return _re.findall(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", xml or "")
 
 
-def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
-    """(registered_domain, xml) → (registered_domain, loc, loc_pos)."""
+def parse_sitemaps(sitemaps: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(registered_domain, [extra string cols…], xml) →
+    (registered_domain, [extra…], loc, loc_pos). ``extra_cols`` are
+    passed through per emitted loc (the expansion loop threads its DFS
+    path key this way)."""
+    cols = ["registered_domain", *extra_cols]
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in cols]
+        + [T.StructField("loc", T.StringType()), T.StructField("loc_pos", T.IntegerType())]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for dom, xml in zip(pdf["registered_domain"], pdf["xml"]):
+            for tup in pdf[cols + ["xml"]].itertuples(index=False, name=None):
+                *head, xml = tup
                 for i, loc in enumerate(parse_sitemap_py(xml)):
-                    rows.append((dom, loc, i))
-            yield pd.DataFrame(rows, columns=["registered_domain", "loc", "loc_pos"])
+                    rows.append((*head, loc, i))
+            yield pd.DataFrame(rows, columns=cols + ["loc", "loc_pos"])
 
-    return sitemaps.select("registered_domain", "xml").mapInPandas(gen, _SITEMAP_SCHEMA)
+    return sitemaps.select(*cols, "xml").mapInPandas(gen, schema)

@@ -102,8 +102,13 @@ class OracleCrawl:
             for r in pq.read_table(f"{self.corpus_dir}/robots.parquet").to_pylist()
         }
         self.sitemaps = {}
-        for r in pq.read_table(f"{self.corpus_dir}/sitemaps.parquet").to_pylist():
+        self.sitemaps_by_url: dict[tuple[str, str], str] | None = None
+        self.sitemap_roots: dict[str, list[tuple[int, str]]] = {}
+        sm_rows = pq.read_table(f"{self.corpus_dir}/sitemaps.parquet").to_pylist()
+        for r in sm_rows:
             self.sitemaps.setdefault(r["domain"], []).append(r["xml"])
+        if sm_rows and "url" in sm_rows[0]:
+            self.sitemaps_by_url = {(r["domain"], r["url"]): r["xml"] for r in sm_rows}
         self.seeds = [
             r["url"] for r in pq.read_table(f"{self.corpus_dir}/seeds.parquet").to_pylist()
         ]
@@ -143,14 +148,19 @@ class OracleCrawl:
                 host = (urlparse(url).hostname or "").lower()
                 rdom = registered_domain(host)
                 if rdom not in self.rules:
+                    rows_r = parse_robots_py(
+                        rdom, self.robots.get(rdom, ""), self.config.user_agent
+                    )
                     self.rules[rdom] = [
-                        (t, v)
-                        for _, t, v in parse_robots_py(
-                            rdom, self.robots.get(rdom, ""), self.config.user_agent
-                        )
-                        if t in ("allow", "disallow")
+                        (t, v) for _, t, v, _ in rows_r if t in ("allow", "disallow")
                     ]
-                    if rdom in self.sitemaps:
+                    self.sitemap_roots[rdom] = [
+                        (p, v) for _, t, v, p in rows_r if t == "sitemap"
+                    ]
+                    if self.sitemaps_by_url is not None:
+                        if self.sitemap_roots[rdom]:
+                            new_doms.append(rdom)
+                    elif rdom in self.sitemaps:
                         new_doms.append(rdom)
                 path = urlparse(url).path
                 allowed = can_fetch_py(self.rules[rdom], path)
@@ -164,11 +174,43 @@ class OracleCrawl:
                     self.queues[rdom].append(key)
             batch = []
             for rank, dom in enumerate(sorted(set(new_doms)), start=1):
-                for xml in self.sitemaps[dom]:
-                    for pos, loc in enumerate(parse_sitemap_py(xml)):
-                        batch.append((self.next_seq + rank, 0, pos, loc, 0, "sitemap"))
+                for pos, loc in enumerate(self._sitemap_page_locs(dom)):
+                    batch.append((self.next_seq + rank, 0, pos, loc, 0, "sitemap"))
             if not batch:
                 break
+
+    # sitemap DFS twin of operators/admission.expand_sitemaps (frozen
+    # spec: locs matching _SM_LOC are sitemap documents, fetched and
+    # re-parsed to SITEMAP_MAX_LEVELS doc levels; pages ordered by the
+    # fixed-width DFS path key)
+    def _sitemap_page_locs(self, dom: str) -> list[str]:
+        if self.sitemaps_by_url is None:
+            out = [
+                (f"{pos:08d}", loc)
+                for xml in self.sitemaps.get(dom, [])
+                for pos, loc in enumerate(parse_sitemap_py(xml))
+            ]
+            out.sort()
+            return [loc for _, loc in out]
+        sm_loc = re.compile(r"\.xml($|\?)", re.I)
+        out = []
+
+        def visit(url: str, path: str, level: int) -> None:
+            xml = self.sitemaps_by_url.get((dom, url))
+            if xml is None:
+                return
+            for pos, loc in enumerate(parse_sitemap_py(xml)):
+                child = f"{path}.{pos:04d}"
+                if sm_loc.search(loc):
+                    if level + 1 < 3:  # SITEMAP_MAX_LEVELS
+                        visit(loc, child, level + 1)
+                else:
+                    out.append((child, loc))
+
+        for rule_pos, root in self.sitemap_roots.get(dom, []):
+            visit(root, f"{rule_pos:04d}", 0)
+        out.sort()
+        return [loc for _, loc in out]
 
     # -- one politeness round (Worker.run twin) ------------------------
     def run_round(self) -> bool:

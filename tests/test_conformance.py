@@ -18,7 +18,7 @@ from crawlspark import reports as REP
 @pytest.fixture(scope="module")
 def small_corpus(tmp_path_factory):
     d = tmp_path_factory.mktemp("conf_corpus")
-    C.write_corpus(str(d), C.CorpusSpec(n_pages=120, n_domains=14, seed=11))
+    C.write_corpus(str(d), C.CorpusSpec(n_pages=90, n_domains=14, seed=11))
     return str(d)
 
 
@@ -75,6 +75,26 @@ def test_engine_matches_oracle(engine, small_corpus, cfg):
     assert e_rep["subdomains"] == o_rep["subdomains"]
     assert e_rep["longest_page"] == o_rep["longest_page"]
     assert e_rep["top_words"] == o_rep["top_words"]
+
+
+def test_sitemap_index_and_ruleless_coverage(engine):
+    """The new corpus shapes must actually be exercised: sitemapindex
+    domains (k%6==0: d00/d06/d12) admit pages via sub-sitemaps, sitemap
+    DOCUMENT urls are never admitted as pages, and rule-less domains
+    (k%7==5: d05/d12) are fully allowed."""
+    rows = engine.all_rows().select(
+        "url", "src", "status", "registered_domain"
+    ).collect()
+    sm_rows = [r for r in rows if r["src"] == "sitemap"]
+    assert sm_rows, "no sitemap-admitted rows at all"
+    idx_doms = {"d00.example", "d06.example", "d12.example"}
+    assert any(r["registered_domain"] in idx_doms for r in sm_rows), (
+        "no pages admitted from a sitemapindex domain"
+    )
+    assert not [r for r in rows if r["url"].lower().endswith(".xml")]
+    for r in rows:
+        if r["registered_domain"] in ("d05.example", "d12.example"):
+            assert r["status"] != "robots_blocked", r
 
 
 def test_engine_statuses_cover_fixtures(engine):

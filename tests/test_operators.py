@@ -40,8 +40,9 @@ def test_robots_parse_and_gate_twins(spark):
         "Disallow: /tmp/\nSitemap: https://d.example/sm.xml\nbadline\n"
     )
     rules_py = R.parse_robots_py("d.example", body)
-    assert ("d.example", "sitemap", "https://d.example/sm.xml") in rules_py
-    prefix_rules = [(t, v) for _, t, v in rules_py if t != "sitemap"]
+    assert ("d.example", "sitemap", "https://d.example/sm.xml", 3) in rules_py
+    assert ("d.example", "probed", "", -1) in rules_py  # known-domain sentinel
+    prefix_rules = [(t, v) for _, t, v, _ in rules_py if t in ("allow", "disallow")]
     cases = {
         "/admin/x": False,
         "/admin/pub/x": True,   # allow overrides disallow (robot_parser.py:39-46)
@@ -67,6 +68,11 @@ def test_sim_tokens_twin(spark):
         "https://a.com/",
         "https://a.com/p;param?k=v",
         "https://a.com/q?novalue=&bare",
+        # parse_qs percent-decoding twins (worker.py:157-165): decoded
+        # when well-formed, raw on malformed escapes, U+FFFD on bad UTF-8,
+        # '+' as space; path segments stay raw
+        "https://a.com/p%20x?a%20b=c%2Cd&plus=1+2",
+        "https://a.com/q?bad%zz=1&u8=%E2%82%AC&ff=x%FFy",
     ]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = {

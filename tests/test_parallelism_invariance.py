@@ -2,7 +2,12 @@
 identical at different parallelism levels — every ordering decision is
 data-derived. The in-session engine (local[4] fixture) is compared against
 an engine run in a SUBPROCESS at local[2] with different shuffle
-partitioning, both against the oracle-checked corpus."""
+partitioning, both against the oracle-checked corpus.
+
+The subprocess engine additionally FORCES the two-phase assign_seq path
+(seq_two_phase_threshold=0) while the in-session engine uses the
+single-window path — equality proves the two discovery_seq assignment
+strategies are interchangeable at any parallelism (VERDICT r1 #6)."""
 
 from __future__ import annotations
 
@@ -26,7 +31,10 @@ from crawlspark.session import get_spark
 
 corpus_dir, state_dir = sys.argv[1], sys.argv[2]
 spark = get_spark("inv2", master="local[2]", shuffle_partitions=7)
-cfg = CrawlConfig(allowed_url_patterns=C.ALLOWED_PATTERNS, per_domain_quota=2)
+cfg = CrawlConfig(
+    allowed_url_patterns=C.ALLOWED_PATTERNS, per_domain_quota=2,
+    extra={"seq_two_phase_threshold": 0},
+)
 eng = CrawlEngine(spark, cfg, corpus_dir, state_dir, checkpoint_interval=1000)
 eng.start(resume=False)
 eng.run()
