@@ -9,11 +9,14 @@ One round == one politeness tick == one DataFrame DAG:
   simhash near-dup gates (worker.py:115-137) → link/redirect discovery →
   vectorized admission (frontier.py:114-155) → state update.
 
-State lives in five DataFrames (pending / completed / bad / fingerprints /
-rules), kept lineage-flat via localCheckpoint per round and committed as
-an icelite snapshot every ``checkpoint_interval`` rounds (resume = load
-the latest snapshot; per-round metrics ride in the snapshot meta —
-north_rule's per-partition lineage + fetch/parse metrics).
+State lives in five parquet-backed tables (pending / completed / bad /
+fingerprints / rules), ALL maintained as O(delta) appends per round:
+completed/bad/fingerprints are append-only parts, and pending is base
+parts + popped-key tombstones (merge-on-read; see the ``pending``
+property) compacted only at snapshot commits. An icelite snapshot is
+committed every ``checkpoint_interval`` rounds (resume = load the
+latest snapshot; per-partition lineage + fetch/parse metrics ride in
+the manifest — the north_rule surface).
 
 Suppression semantics bridge (frozen; SURVEY.md §7 "hard parts"): the
 bad-URL and simhash similarity gates evaluate against state AS OF ROUND
@@ -282,6 +285,35 @@ class CrawlEngine:
     def fingerprints(self) -> DataFrame:
         return self._state_table("fingerprints", FP_SCHEMA)
 
+    # -- pending frontier: base parts + popped tombstones ----------------
+    # The frontier of record is append-only between snapshots: admitted
+    # rows land as O(delta) parquet parts ('pending'), scheduled keys as
+    # tombstone parts ('popped'), and the readable frontier is
+    # base ⟕̸ tombstones (anti-join; AQE broadcasts the small tombstone
+    # side). A full O(frontier) rewrite happens only at compaction —
+    # snapshot commits, or when tombstone parts pile up — never per
+    # round. This is Iceberg's merge-on-read delete-file model, which is
+    # the only write pattern that survives a 10^10-row frontier.
+    @property
+    def pending(self) -> DataFrame:
+        base = self._state_table("pending", FRONTIER_SCHEMA)
+        tombs = self._state_parts.get("popped")
+        if not tombs:
+            return base
+        t = self.spark.read.parquet(*tombs).select("url_hash")
+        return base.join(t, "url_hash", "left_anti")
+
+    def _compact_pending(self) -> None:
+        """Fold tombstones into a single base part (O(frontier), run at
+        snapshot commits / tombstone pile-up only)."""
+        if not self._state_parts.get("popped") and len(
+            self._state_parts.get("pending", [])
+        ) <= 1:
+            return
+        self._append_state_delta(self.pending, "pending", single=False)
+        self._state_parts["pending"] = [self._state_parts["pending"][-1]]
+        self._state_parts["popped"] = []
+
     def _gc_scratch(self) -> None:
         import shutil
 
@@ -292,10 +324,8 @@ class CrawlEngine:
     def start(self, resume: bool = False) -> None:
         snap = self.catalog.latest() if resume else None
         if snap is not None:
-            self.pending = (
-                self.catalog.load(self.spark, snap, "pending")
-                or self._empty(FRONTIER_SCHEMA)
-            )
+            self._state_parts["pending"] = self.catalog.paths(snap, "pending")
+            self._state_parts["popped"] = []
             self.rules = (
                 self.catalog.load(self.spark, snap, "rules") or self._empty(RULES_SCHEMA)
             )
@@ -313,7 +343,6 @@ class CrawlEngine:
                 )
             return
         # fresh start: admit seeds (ref crawler/frontier.py:60-67)
-        self.pending = self._empty(FRONTIER_SCHEMA)
         self.rules = self._empty(RULES_SCHEMA)
         self.next_seq = 0
         self.round_no = 0
@@ -336,7 +365,7 @@ class CrawlEngine:
         """Bulk-load a pre-built pending frontier (bench / resume-from-
         external): all robots rules pre-parsed, empty memories."""
         self.round_no = 0
-        self.pending = pending
+        self._append_state_delta(pending, "pending", single=False)
         self.rules = rules
         self.next_seq = next_seq
         self._checkpoint_state()
@@ -347,7 +376,14 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _seen_keys(self) -> DataFrame:
-        return self.pending.select("url_hash").union(self.completed.select("url_hash"))
+        # raw pending parts WITHOUT the tombstone anti-join: popped rows
+        # are in `completed` anyway, and seen-ness only needs a superset
+        # union — one less join in the admission anti-join's plan
+        return (
+            self._state_table("pending", FRONTIER_SCHEMA)
+            .select("url_hash")
+            .union(self.completed.select("url_hash"))
+        )
 
     def _admit(self, candidates: DataFrame) -> int:
         # unique scratch name per materialization within this round —
@@ -380,7 +416,7 @@ class CrawlEngine:
         self.next_seq += n
         new_pending = rows.filter(F.col("status") == "pending")
         blocked = rows.filter(F.col("status") == "robots_blocked")
-        self.pending = self.pending.unionByName(new_pending)
+        self._append_state_delta(new_pending, "pending")
         self._append_state_delta(
             blocked.withColumns(
                 {
@@ -405,13 +441,18 @@ class CrawlEngine:
         return n
 
     def _checkpoint_state(self) -> None:
-        self.pending = self._mat_state(self.pending, "pending")
+        # pending is delta-maintained (see the `pending` property) — only
+        # rules need pinning, and only when they changed
         if getattr(self, "_rules_dirty", True):
             self.rules = self._mat_state(self.rules, "rules", single=True)
             self._rules_dirty = False
+        if len(self._state_parts.get("popped", [])) >= int(
+            self.config.extra.get("pending_compact_parts", 64)
+        ):
+            self._compact_pending()
 
     def _commit_snapshot(self) -> None:
-        self.catalog.commit(
+        snap = self.catalog.commit(
             {
                 "pending": self.pending,
                 "rules": self.rules,
@@ -434,6 +475,10 @@ class CrawlEngine:
                 ],
             },
         )
+        # the committed pending is a clean full table → adopt it as the
+        # compacted base and drop the tombstones it folded in
+        self._state_parts["pending"] = self.catalog.paths(snap, "pending")
+        self._state_parts["popped"] = []
 
     # ------------------------------------------------------------------
     def run_round(self) -> bool:
@@ -465,19 +510,26 @@ class CrawlEngine:
         # One broadcast join covers both bad-URL kinds; flags per url.
         depth_ok = F.col("depth") <= cfg.max_depth
         rest = s.filter(depth_ok)
-        hits = self._mat(
-            BAD.similarity_hits(
-                rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count,
-                broadcast_bad=self._n_bad_total <= self._broadcast_bad_limit,
+        if self._n_bad_total == 0:
+            # no bad-URL memory yet → the similarity join is empty by
+            # construction; skip the whole job (one round-trip saved)
+            hits = self.spark.createDataFrame(
+                [], "url string, low_hit boolean, err_hit boolean"
             )
-            .groupBy("url")
-            .agg(
-                F.max(F.col("kind") == "low_data").alias("low_hit"),
-                F.max(F.col("kind") == "error").alias("err_hit"),
-            ),
-            "hits",
-            single=True,
-        )
+        else:
+            hits = self._mat(
+                BAD.similarity_hits(
+                    rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count,
+                    broadcast_bad=self._n_bad_total <= self._broadcast_bad_limit,
+                )
+                .groupBy("url")
+                .agg(
+                    F.max(F.col("kind") == "low_data").alias("low_hit"),
+                    F.max(F.col("kind") == "error").alias("err_hit"),
+                ),
+                "hits",
+                single=True,
+            )
         _mark("hits")
         fetchable = rest.join(hits, "url", "left_anti").filter(
             ~traps.is_trap(F.col("url"))
@@ -614,10 +666,10 @@ class CrawlEngine:
         )
         candidates = redirects.unionByName(links)
 
-        # frontier update: scheduled rows leave pending, discoveries enter
-        self.pending = self.pending.join(
-            sched.select("url_hash"), "url_hash", "left_anti"
-        )
+        # frontier update: scheduled keys become tombstones (O(batch)
+        # append — never an O(frontier) rewrite), discoveries enter via
+        # _admit's pending delta
+        self._append_state_delta(sched.select("url_hash"), "popped")
         _mark("pending_update")
         n_new = (
             self._admit(candidates)
