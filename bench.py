@@ -41,9 +41,12 @@ HEADLINE_QUERIES = [
     "politeness_quota",
     "top50_words",
     "doc_fingerprint",
+    "ngram_jaccard",
     "minhash_lsh",
     "simhash_pairs",
     "embedding_topk",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
     "ann_lsh_topk",
     "url_canonicalize",
     "sessionize",

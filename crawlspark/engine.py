@@ -72,6 +72,37 @@ def _schema(fields) -> T.StructType:
     return T.StructType([T.StructField(n, t, True) for n, t in fields])
 
 
+def _pq_rows(path: str) -> int | None:
+    """Row count from local parquet footers — zero Spark jobs. Returns
+    None when the path isn't a local readable parquet dir (cluster
+    storage → caller falls back to df.count())."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    try:
+        for dirpath, _, fnames in os.walk(path):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
+def fast_count(df: DataFrame) -> int:
+    """Count a frame returned by the engine's materializers without a
+    Spark job (parquet footer metadata); any other frame falls back to
+    a normal count(). Shaves ~4 driver round-trips per crawl round."""
+    path = getattr(df, "_crawlspark_path", None)
+    if path is not None:
+        n = _pq_rows(path)
+        if n is not None:
+            return n
+    return df.count()
+
+
 FRONTIER_SCHEMA = _schema(FRONTIER_FIELDS)
 COMPLETED_SCHEMA = _schema(FRONTIER_FIELDS + COMPLETED_EXTRA)
 BAD_SCHEMA = _schema(
@@ -233,7 +264,9 @@ class CrawlEngine:
         # keeps upstream parallel and only funnels the small result.
         path = os.path.join(self.scratch_dir, f"r{self.round_no:06d}", name)
         (df.repartition(1) if single else df).write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        out = self.spark.read.parquet(path)
+        out._crawlspark_path = path
+        return out
 
     def _mat_state(self, df: DataFrame, name: str, single: bool = False) -> DataFrame:
         """Full-rewrite state table (pending). Versions independently of
@@ -247,7 +280,9 @@ class CrawlEngine:
         (df.repartition(1) if single else df).write.mode("overwrite").parquet(path)
         old = os.path.join(self.scratch_dir, "state", name, f"v{ver - 2:06d}")
         shutil.rmtree(old, ignore_errors=True)
-        return self.spark.read.parquet(path)
+        out = self.spark.read.parquet(path)
+        out._crawlspark_path = path
+        return out
 
     def _append_state_delta(self, delta: DataFrame, name: str, single: bool = True) -> DataFrame:
         """Append-only state table (completed / bad / fingerprints): write
@@ -265,7 +300,9 @@ class CrawlEngine:
         path = os.path.join(dirp, f"d{ver:06d}")
         (delta.repartition(1) if single else delta).write.mode("overwrite").parquet(path)
         self._state_parts.setdefault(name, []).append(path)
-        return self.spark.read.parquet(path)
+        out = self.spark.read.parquet(path)
+        out._crawlspark_path = path
+        return out
 
     def _state_table(self, name: str, schema: T.StructType) -> DataFrame:
         parts = self._state_parts.get(name)
@@ -408,11 +445,12 @@ class CrawlEngine:
             self.round_no,
             bloom=self.bloom,
             bloom_state=self.bloom_state,
+            row_counter=fast_count,
         )
         if res.new_rows is None:
             return 0
         rows = res.new_rows
-        n = rows.count()
+        n = fast_count(rows)
         self.next_seq += n
         new_pending = rows.filter(F.col("status") == "pending")
         blocked = rows.filter(F.col("status") == "robots_blocked")
@@ -498,7 +536,7 @@ class CrawlEngine:
         self.round_no += 1
 
         sched = self._mat(schedule_round(self.pending, cfg.per_domain_quota), "sched")
-        n_sched = sched.count()
+        n_sched = fast_count(sched)
         _mark("schedule")
         if n_sched == 0:
             self.round_no -= 1

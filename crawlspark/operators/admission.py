@@ -134,10 +134,13 @@ def admit(
     round_no: int,
     bloom=None,                    # BloomSeenFilter | None
     bloom_state: DataFrame | None = None,
+    row_counter=None,              # count fn for MATERIALIZED frames
 ) -> AdmissionResult:
     """One admission pass, with the new-domain robots/sitemap expansion
     fix-pointed (<=3 iterations; sitemap URLs are same-domain in practice,
     so pass 2 terminates)."""
+    if row_counter is None:
+        row_counter = lambda df: df.count()
     all_new_rows: DataFrame | None = None
     all_new_rules: DataFrame | None = None
     batch = candidates
@@ -176,7 +179,7 @@ def admit(
                 all_new_rows.select("url_hash"), "url_hash", "left_anti"
             )
         fresh = materialize(fresh, "adm_fresh")
-        n_fresh = fresh.count()
+        n_fresh = row_counter(fresh)
         if n_fresh == 0:
             break
 
@@ -201,7 +204,7 @@ def admit(
             ),
             "adm_rules",
         )
-        no_new_rules = new_rules.isEmpty()
+        no_new_rules = row_counter(new_rules) == 0
         all_new_rules = (
             new_rules if all_new_rules is None else all_new_rules.union(new_rules)
         )
@@ -239,7 +242,7 @@ def admit(
             "depth", "src", "discovery_seq", "discovered_round", "status",
 )
         rows = materialize(rows, "adm_rows")
-        n = rows.count()
+        n = row_counter(rows)
         seq += n
         all_new_rows = rows if all_new_rows is None else all_new_rows.union(rows)
 

@@ -96,6 +96,45 @@ def test_live_fetch_and_route_verdicts(spark):
     assert routed["https://a.example/page"]["total_words"] == 40
 
 
+def test_engine_runs_live_http_mode(spark, tmp_path):
+    """Full engine loop over the fake web: corpus-less construction,
+    seeds from config, discovery through parsed HTML links, politeness
+    rounds — extra['fetch_mode']='http' swaps the fetch stage only."""
+    from crawlspark.engine import CrawlEngine
+
+    web = {
+        "https://a.example/start": (
+            200, "text/html",
+            (
+                "<html><body><a href='/p2'>x</a>"
+                f"<p>{CAPTION}</p></body></html>"
+            ).encode(),
+            None,
+        ),
+        "https://a.example/p2": (
+            200, "text/html",
+            (
+                "<html><body><a href='https://a.example/start'>back</a>"
+                f"<p>{CAPTION} extra</p></body></html>"
+            ).encode(),
+            None,
+        ),
+    }
+    cfg = CrawlConfig(
+        seed_urls=("https://a.example/start",),
+        allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        extra={"fetch_mode": "http", "http_transport": make_transport(web)},
+    )
+    eng = CrawlEngine(spark, cfg, None, str(tmp_path / "state"), checkpoint_interval=100)
+    eng.start(resume=False)
+    eng.run(max_rounds=5)
+    rows = {r["url"]: r["status"] for r in eng.all_rows().select("url", "status").collect()}
+    assert rows == {
+        "https://a.example/start": "parsed",
+        "https://a.example/p2": "parsed",
+    }
+
+
 def test_requests_transport_gated():
     """The default transport needs `requests`; absent here, the error is
     a clean ImportError at construction (not a worker-side crash)."""
