@@ -367,6 +367,109 @@ def q_payload_phash(spark, sf_dir):
     return docs.mapInPandas(gen, schema).orderBy("doc_id")
 
 
+def _synth_pages(spark, sf_dir, n=100, w=16, h=16):
+    """Deterministic (image_id, bytes, w, h, fmt) payload frame derived
+    from doc_id — the multimodal ops' input shape (binary + metadata)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark.functions import images as I
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(n)
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                fmt = fmts[int(did) % len(fmts)]
+                px = I.pixels_for_id(f"doc{int(did)}", w, h)
+                rows.append((f"doc{int(did)}", I.encode_image(px, fmt), w, h, fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return docs.mapInPandas(gen, schema)
+
+
+def q_payload_resize(spark, sf_dir):
+    """Multimodal transform: decode → nearest-neighbor resize → rehash
+    (Arrow mapInPandas; no SQL oracle — rows-only check)."""
+    from crawlspark.operators import multimodal as MM
+
+    pages = _synth_pages(spark, sf_dir, n=100)
+    return MM.resize_images(pages, 8, 8).select(
+        "image_id", "out_w", "out_h", "phash"
+    ).orderBy("image_id")
+
+
+def q_video_frames(spark, sf_dir):
+    """Frame sampling over synthetic raw-container videos (every 2nd
+    frame → phash). Rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(40)
+    schema = T.StructType(
+        [T.StructField("video_id", T.StringType()), T.StructField("bytes", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (f"vid{int(d)}", MM.make_video_bytes(f"vid{int(d)}", 8, 8, 4 + int(d) % 3))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    vids = docs.mapInPandas(gen, schema)
+    return MM.sample_frames(vids, every_k=2).orderBy("video_id", "frame_idx")
+
+
+def q_audio_features(spark, sf_dir):
+    """PCM feature extraction (RMS / peak / zero-crossings) over
+    synthetic waveforms. Rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (f"aud{int(d)}", MM.waveform_for_id(f"aud{int(d)}").tobytes(), "pcm16")
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = docs.mapInPandas(gen, schema)
+    return MM.audio_features(audio).orderBy("audio_id")
+
+
 def q_windowed_events(spark, sf_dir):
     """Tumbling-window aggregation (Structured-Streaming shape, batch run)."""
     ev = _t(spark, sf_dir, "events")
@@ -544,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "payload_phash": q_payload_phash,
+        "payload_resize": q_payload_resize,
+        "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "status_routing": q_status_routing,
