@@ -184,6 +184,14 @@ class CrawlEngine:
         # similarity joins degrade to shuffled hash joins (scale guard)
         self._n_bad_total = 0
         self._broadcast_bad_limit = int(config.extra.get("broadcast_bad_limit", 500_000))
+        # driver-side known-domain cache: lets admission answer "any new
+        # domains in this batch?" with zero Spark jobs in steady state;
+        # disabled (None) past the budget — the relational anti-join path
+        # is the semantics either way
+        self._known_doms: set | None = set()
+        self._known_doms_limit = int(
+            config.extra.get("known_domains_cache_limit", 1_000_000)
+        )
         self._load_corpus()
 
     # ------------------------------------------------------------------
@@ -370,6 +378,7 @@ class CrawlEngine:
                 self._state_parts[name] = self.catalog.paths(snap, name)
             if self._state_parts.get("bad"):
                 self._n_bad_total = self.bad.count()
+            self._init_known_doms()
             self.next_seq = int(snap.meta["next_seq"])
             self.round_no = int(snap.meta["round_no"])
             if self.bloom is not None:
@@ -405,6 +414,7 @@ class CrawlEngine:
         self._append_state_delta(pending, "pending", single=False)
         self.rules = rules
         self.next_seq = next_seq
+        self._init_known_doms()
         self._checkpoint_state()
         if self.bloom is not None:
             self.bloom_state = self._mat_state(
@@ -412,6 +422,34 @@ class CrawlEngine:
             )
 
     # ------------------------------------------------------------------
+    def _init_known_doms(self) -> None:
+        """Seed the cache from the rules table (resume / bulk load);
+        disable it when the domain count exceeds the budget."""
+        rows = (
+            self.rules.select("registered_domain").distinct()
+            .limit(self._known_doms_limit + 1).collect()
+        )
+        if len(rows) > self._known_doms_limit:
+            self._known_doms = None
+        else:
+            self._known_doms = {r[0] for r in rows}
+
+    def _local_values(self, df: DataFrame, col: str):
+        """Cheap driver-side column read for small MATERIALIZED frames
+        (local parquet); None → caller uses the distributed path."""
+        path = getattr(df, "_crawlspark_path", None)
+        if path is None:
+            return None
+        n = _pq_rows(path)
+        if n is None or n > 200_000:
+            return None
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.read_table(path, columns=[col]).column(col).to_pylist()
+        except Exception:
+            return None
+
     def _seen_keys(self) -> DataFrame:
         # raw pending parts WITHOUT the tombstone anti-join: popped rows
         # are in `completed` anyway, and seen-ness only needs a superset
@@ -446,6 +484,8 @@ class CrawlEngine:
             bloom=self.bloom,
             bloom_state=self.bloom_state,
             row_counter=fast_count,
+            known_domains=self._known_doms,
+            local_values=self._local_values,
         )
         if res.new_rows is None:
             return 0
@@ -468,6 +508,16 @@ class CrawlEngine:
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
+            if self._known_doms is not None:
+                # keep the cache coherent when the relational path ran
+                # (huge batch); fast-path updates happened in-place
+                self._known_doms |= {
+                    r[0]
+                    for r in res.new_rules.select("registered_domain")
+                    .distinct().collect()
+                }
+                if len(self._known_doms) > self._known_doms_limit:
+                    self._known_doms = None
         if self.bloom is not None:
             delta_filter = self.bloom.build(rows.select("url_hash"))
             merged = (
@@ -600,9 +650,12 @@ class CrawlEngine:
                 ]
                 pages_src = self.pages.filter(F.col("pbucket").isin(touched))
             routed0 = self._mat(FE.fetch_and_route(fetch_in, pages_src, cfg), "routed0")
-        sh = self._mat(
-            FE.batch_simhash(routed0.filter(F.col("route") == "parse")), "sh"
-        )
+        # sh stays UNmaterialized: both consumers (the join and the
+        # near-dup probe) sit inside the single `routed` write job, and
+        # re-running the Arrow fingerprint twice over the already-
+        # materialized routed0 parquet is cheaper than an extra
+        # write+read round-trip per crawl round
+        sh = FE.batch_simhash(routed0.filter(F.col("route") == "parse"))
         nd = FE.neardup_hits(sh, self.fingerprints, cfg.simhash_max_hamming)
         routed = self._mat(
             routed0.join(sh, "url_hash", "left").join(

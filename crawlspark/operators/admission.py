@@ -135,6 +135,8 @@ def admit(
     bloom=None,                    # BloomSeenFilter | None
     bloom_state: DataFrame | None = None,
     row_counter=None,              # count fn for MATERIALIZED frames
+    known_domains: set | None = None,   # driver-side known-domain cache
+    local_values=None,             # (df, col) -> list | None, cheap local read
 ) -> AdmissionResult:
     """One admission pass, with the new-domain robots/sitemap expansion
     fix-pointed (<=3 iterations; sitemap URLs are same-domain in practice,
@@ -183,31 +185,55 @@ def admit(
         if n_fresh == 0:
             break
 
-        # new-domain discovery: fetch robots for domains without rules
-        known = rules.select("registered_domain").distinct()
-        if all_new_rules is not None:
-            known = known.union(all_new_rules.select("registered_domain")).distinct()
-        new_doms = (
-            fresh.select("registered_domain")
-            .distinct()
-            .join(known, "registered_domain", "left_anti")
+        # new-domain discovery: fetch robots for domains without rules.
+        # Fast path: when the engine supplies a driver-side known-domain
+        # cache AND the materialized batch's domain column is cheaply
+        # readable (local parquet), decide "any new domains?" without a
+        # Spark job — in steady state (no new domains for thousands of
+        # rounds) this removes the anti-join + robots-parse jobs entirely.
+        # Semantics identical to the relational path: the cache IS the
+        # rules table's domain set (sentinels included).
+        new_doms = None
+        batch_doms = (
+            local_values(fresh, "registered_domain")
+            if (known_domains is not None and local_values is not None)
+            else None
         )
-        # LEFT join: a domain with no robots.txt row still gets probed
-        # (empty body → 'probed' sentinel only) — the oracle's
-        # robots.get(domain, "") twin; an inner join would re-probe such
-        # domains on every pass forever
-        new_rules = materialize(
-            R.parse_robots(
-                new_doms.join(robots_bodies, "registered_domain", "left")
-                .withColumn("body", F.coalesce(F.col("body"), F.lit(""))),
-                config.user_agent,
-            ),
-            "adm_rules",
-        )
-        no_new_rules = row_counter(new_rules) == 0
-        all_new_rules = (
-            new_rules if all_new_rules is None else all_new_rules.union(new_rules)
-        )
+        if batch_doms is not None:
+            new_list = sorted(set(batch_doms) - known_domains)
+            if new_list:
+                new_doms = spark.createDataFrame(
+                    [(x,) for x in new_list], ["registered_domain"]
+                )
+                known_domains.update(new_list)
+        else:
+            known = rules.select("registered_domain").distinct()
+            if all_new_rules is not None:
+                known = known.union(all_new_rules.select("registered_domain")).distinct()
+            new_doms = (
+                fresh.select("registered_domain")
+                .distinct()
+                .join(known, "registered_domain", "left_anti")
+            )
+        if new_doms is None:
+            no_new_rules = True
+        else:
+            # LEFT join: a domain with no robots.txt row still gets probed
+            # (empty body → 'probed' sentinel only) — the oracle's
+            # robots.get(domain, "") twin; an inner join would re-probe
+            # such domains on every pass forever
+            new_rules = materialize(
+                R.parse_robots(
+                    new_doms.join(robots_bodies, "registered_domain", "left")
+                    .withColumn("body", F.coalesce(F.col("body"), F.lit(""))),
+                    config.user_agent,
+                ),
+                "adm_rules",
+            )
+            no_new_rules = row_counter(new_rules) == 0
+            all_new_rules = (
+                new_rules if all_new_rules is None else all_new_rules.union(new_rules)
+            )
 
         # robots gate against (existing ∪ new) rules
         eff_rules = rules.union(all_new_rules) if all_new_rules is not None else rules

@@ -74,11 +74,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index shingle join.
 
     |A∩B| from the equi-join group count; |A∪B| = |A|+|B|−|A∩B| from
-    per-doc shingle counts — never a cross join."""
+    per-doc shingle counts — never a cross join.
+
+    ``max_shingle_df``: the skew guard for web-scale corpora. A shingle
+    appearing in d documents contributes d² rows to the inverted-index
+    join — one boilerplate shingle in 10^6 docs is a 10^12-row hot key.
+    Setting a document-frequency cap drops such shingles from BOTH the
+    index and the per-doc sizes, i.e. Jaccard is computed exactly over
+    the capped shingle space (the standard stopword-shingle cut). None
+    (default) keeps the fully exact semantics the DuckDB oracle checks."""
     df = _spread(df)
     # persisted: sh feeds the inverted-index join twice (a/b aliases) and
     # the per-doc size aggregate — without it the shingle expression tree
@@ -86,6 +95,14 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
     ).persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti").persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")

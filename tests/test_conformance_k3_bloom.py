@@ -15,7 +15,7 @@ from crawlspark.oracle import OracleCrawl
 @pytest.fixture(scope="module")
 def corpus_k3(tmp_path_factory):
     d = tmp_path_factory.mktemp("conf_k3")
-    C.write_corpus(str(d), C.CorpusSpec(n_pages=120, n_domains=10, seed=23))
+    C.write_corpus(str(d), C.CorpusSpec(n_pages=80, n_domains=10, seed=23))
     return str(d)
 
 

@@ -11,7 +11,7 @@ from crawlspark.reports import crawl_report
 
 def test_resume_equals_uninterrupted(spark, tmp_path):
     d = str(tmp_path / "corpus")
-    C.write_corpus(d, C.CorpusSpec(n_pages=50, n_domains=8, seed=13))
+    C.write_corpus(d, C.CorpusSpec(n_pages=36, n_domains=8, seed=13))
     cfg = CrawlConfig(allowed_url_patterns=C.ALLOWED_PATTERNS, per_domain_quota=2)
 
     a = CrawlEngine(spark, cfg, d, str(tmp_path / "sa"), checkpoint_interval=2)

@@ -34,3 +34,32 @@ def test_cosine_topk_excludes_self_and_ranks(spark):
     assert all(r["neighbor_id"] != 0 for r in res)
     sims = [r["cosine"] for r in res]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """Skew guard: shingles past the document-frequency cap leave the
+    index AND the per-doc sizes - Jaccard stays internally consistent
+    over the capped shingle space."""
+    from crawlspark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "the same boiler plate header text everywhere "
+    rows = [
+        (i, boiler + ("shared middle part of text " if i < 2 else f"unique tail {i} "))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.2, max_shingle_df=3
+        ).collect()
+    }
+    # with boilerplate shingles (df=6) in play, every pair crosses 0.2;
+    # capped at df<=3 only the true shared-content pair (0, 1) survives
+    assert len(exact) == 15 and (0, 1) in exact
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == 1.0  # identical docs over the capped space
