@@ -503,6 +503,63 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+_SESS_STREAM_SEQ = [0]
+
+
+def q_sessionize_stream(spark, sf_dir):
+    """STATEFUL STREAMING twin of `sessionize`: the same events replayed
+    as two file-source micro-batches through applyInPandasWithState
+    (crawlspark.streaming.stateful). The converged per-user state must
+    equal the batch lag-window answer — so it shares that oracle SQL.
+    One of the few stream operators with a full value-hash check."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from crawlspark.streaming.stateful import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    lo = ev.orderBy("ts", "event_id").limit(int(ev.count() // 2))
+    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, part in enumerate((lo, hi)):
+        stage = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    _SESS_STREAM_SEQ[0] += 1
+    qname = f"sess_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, 1800)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table(qname)
+    # final state per user = the update with the (monotonic) max n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+        .orderBy("user_id")
+    )
+
+
 def q_status_routing(spark, sf_dir):
     """when/otherwise status router (F9 analog) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -652,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
+        "sessionize_stream": q_sessionize_stream,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
         "trap_filter": q_trap_filter,
@@ -948,6 +1006,15 @@ def oracle_sql() -> dict[str, str]:
           from events group by 1, 2 order by hour, event_type
         """,
         "sessionize": """
+          select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events from (
+            select user_id,
+              case when lag(ts) over w is null
+                   or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1 else 0 end as new_s
+            from events window w as (partition by user_id order by ts, event_id))
+          group by user_id order by user_id
+        """,
+        # the stateful-streaming twin converges to the identical answer
+        "sessionize_stream": """
           select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events from (
             select user_id,
               case when lag(ts) over w is null
