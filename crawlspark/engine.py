@@ -486,6 +486,9 @@ class CrawlEngine:
             row_counter=fast_count,
             known_domains=self._known_doms,
             local_values=self._local_values,
+            # rules rows ≈ few per domain; broadcast only while the
+            # domain count is known to be under the cache budget
+            broadcast_rules=self._known_doms is not None,
         )
         if res.new_rows is None:
             return 0

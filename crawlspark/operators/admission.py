@@ -137,6 +137,7 @@ def admit(
     row_counter=None,              # count fn for MATERIALIZED frames
     known_domains: set | None = None,   # driver-side known-domain cache
     local_values=None,             # (df, col) -> list | None, cheap local read
+    broadcast_rules: bool = True,  # scale guard for the robots-gate join
 ) -> AdmissionResult:
     """One admission pass, with the new-domain robots/sitemap expansion
     fix-pointed (<=3 iterations; sitemap URLs are same-domain in practice,
@@ -237,7 +238,7 @@ def admit(
 
         # robots gate against (existing ∪ new) rules
         eff_rules = rules.union(all_new_rules) if all_new_rules is not None else rules
-        gated = R.robots_gate(fresh, eff_rules, "path")
+        gated = R.robots_gate(fresh, eff_rules, "path", broadcast_rules=broadcast_rules)
 
         # assign discovery_seq in admission order. Batch-size switch: a
         # global row_number (single-partition sort) is fastest below

@@ -100,16 +100,20 @@ def can_fetch_py(rules: list[tuple[str, str]], path: str) -> bool:
     return True
 
 
-def robots_gate(candidates: DataFrame, rules: DataFrame, path_col: str = "path") -> DataFrame:
+def robots_gate(candidates: DataFrame, rules: DataFrame, path_col: str = "path",
+                broadcast_rules: bool = True) -> DataFrame:
     """Append boolean ``robots_allowed`` to candidates.
 
     Candidates need (registered_domain, <path_col>). Rules are per-domain
-    prefix rows — tiny relative to candidates → broadcast join; verdict is
-    one aggregate per candidate URL: blocked iff any disallow-prefix
-    matches and no allow-prefix matches."""
+    prefix rows — broadcast while small; the rules table grows with the
+    domain count (10^8+ domains at the north_rule scale), so the engine
+    flips ``broadcast_rules`` off past its domain budget and the gate
+    becomes a shuffled hash join on registered_domain. Verdict is one
+    aggregate per candidate URL: blocked iff any disallow-prefix matches
+    and no allow-prefix matches."""
     r = rules.filter(F.col("rule_type").isin("allow", "disallow"))
     joined = candidates.select("url_hash", "registered_domain", path_col).join(
-        F.broadcast(r), "registered_domain", "left"
+        F.broadcast(r) if broadcast_rules else r, "registered_domain", "left"
     )
     hit = F.col(path_col).startswith(F.col("value"))
     verdict = joined.groupBy("url_hash").agg(
