@@ -327,6 +327,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-shaped ANN: one inverted list per corpus vector (nearest
+    cell), queries probe their nprobe nearest cells, exact re-rank of the
+    probed lists only. Deterministic anchors → full DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 def q_payload_phash(spark, sf_dir):
     """Multimodal payload plumbing on testdata: deterministic image per
     doc_id (encode → binary column → Arrow decode → phash). No SQL oracle."""
@@ -703,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "payload_phash": q_payload_phash,
         "payload_resize": q_payload_resize,
         "video_frames": q_video_frames,
@@ -811,6 +822,54 @@ def _ann_lsh_sql(bits: int = 10, n_tables: int = 6, dim: int = 64, k: int = 5) -
         from sk q join sk c
           on q.table_id = c.table_id and q.bucket = c.bucket
          and q.vec_id < 20 and c.vec_id != q.vec_id
+      ), scored as (
+        select cand.query_id, cand.neighbor_id,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) as cosine
+        from cand
+        join e a on a.vec_id = cand.query_id
+        join e b on b.vec_id = cand.neighbor_id
+      )
+      select query_id, neighbor_id, rank, cosine from (
+        select *, row_number() over (partition by query_id
+                                     order by cosine desc, neighbor_id asc) as rank
+        from scored)
+      where rank <= {k}
+      order by query_id, rank
+    """
+
+
+def _ann_ivf_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of ``SIM.ann_ivf_topk`` with the deterministic
+    anchors as DOUBLE[] literals: cell assignment = argmax anchor dot
+    (rnk=1), probe = top-nprobe cells, exact cosine re-rank of probed
+    lists. Mirrors q_ann_ivf_topk's parameters."""
+    anchors = SIM.ivf_anchors(dim, n_cells)
+    rows = []
+    for c in range(n_cells):
+        vals = ", ".join(repr(float(x)) for x in anchors[c])
+        rows.append(f"({c}, [{vals}]::DOUBLE[])")
+    values = ",\n            ".join(rows)
+    return f"""
+      with cells(cell_id, anchor) as (
+        values
+            {values}
+      ), e as (
+        select vec_id, embedding::DOUBLE[] as e from embeddings
+      ), scored_cells as (
+        select e.vec_id, c.cell_id,
+               row_number() over (partition by e.vec_id
+                                  order by list_dot_product(e.e, c.anchor) desc,
+                                           c.cell_id asc) as rnk
+        from e cross join cells c
+      ), ca as (
+        select vec_id, cell_id from scored_cells where rnk = 1
+      ), qa as (
+        select vec_id, cell_id from scored_cells where rnk <= {nprobe} and vec_id < 20
+      ), cand as (
+        select distinct qa.vec_id as query_id, ca.vec_id as neighbor_id
+        from qa join ca on qa.cell_id = ca.cell_id and ca.vec_id != qa.vec_id
       ), scored as (
         select cand.query_id, cand.neighbor_id,
                round(list_dot_product(a.e, b.e)
@@ -999,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
           order by id_a, id_b
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "windowed_events": """
           select date_trunc('hour', ts) as hour, event_type,
                  count(*) as n_events,

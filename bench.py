@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_lsh",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "url_canonicalize",
     "sessionize",
 ]

@@ -100,6 +100,127 @@ def sketch(df: DataFrame, bits: int = 12, n_tables: int = 4,
     return df.select(id_col, vec_col).mapInPandas(gen, _SKETCH_SCHEMA)
 
 
+def ivf_anchors(dim: int, n_cells: int) -> np.ndarray:
+    """Deterministic unit-norm cell anchors (crc32-seeded — reproducible
+    everywhere, emittable as SQL literals). This is the untrained IVF
+    coarse quantizer; production swaps in k-means centroids via
+    ``train_ivf_kmeans`` (same plan, data-trained anchors)."""
+    import zlib
+
+    seed = zlib.crc32(f"ivf:{n_cells}:{dim}".encode()) & 0xFFFFFFFF
+    a = np.random.default_rng(seed).standard_normal((n_cells, dim))
+    return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+
+def train_ivf_kmeans(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding", sample_n: int = 2048, iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic sample (lowest ids), fixed
+    iterations, seeded init = first k sample vectors — fully
+    reproducible. Driver-side numpy: the sample is bounded, the
+    assignment/refinement of the FULL corpus stays distributed."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mat[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cell_rank", T.IntegerType()),
+    ]
+)
+
+
+def ivf_assign(df: DataFrame, anchors: np.ndarray, nprobe: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, cell_rank): the ``nprobe`` highest-cosine cells per
+    vector (anchors unit-norm ⇒ argmax of the raw dot), Arrow-batched
+    GEMM; ties break toward the lower cell id (stable argsort — the
+    DuckDB twin orders by (dot desc, cell asc))."""
+    anchors = np.ascontiguousarray(anchors, dtype=np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            dots = mat @ anchors.T
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            out = {
+                "vec_id": np.repeat(ids, nprobe),
+                "cell": order.reshape(-1).astype(np.int32),
+                "cell_rank": np.tile(np.arange(1, nprobe + 1, dtype=np.int32), len(ids)),
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, _ASSIGN_SCHEMA)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    anchors: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-shaped ANN: corpus vectors live in ONE inverted list each
+    (their nearest cell); a query probes its ``nprobe`` nearest cells and
+    exact-re-ranks only those lists. At 10^10 rows the cell column is the
+    partition key — the probe is a partition-pruned scan of nprobe/n_cells
+    of the corpus instead of O(N). Pass trained ``anchors`` (k-means) for
+    recall; the default deterministic anchors keep the DuckDB oracle
+    exact."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if anchors is None:
+        anchors = ivf_anchors(dim, n_cells)
+    ca = ivf_assign(corpus, anchors, nprobe=1, id_col=id_col, vec_col=vec_col)
+    qa = ivf_assign(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    cand = (
+        qa.withColumnRenamed("vec_id", "query_id")
+        .join(ca.select("vec_id", "cell"), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ann_hyperplane_topk(
     corpus: DataFrame,
     queries: DataFrame,

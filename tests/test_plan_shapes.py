@@ -49,3 +49,11 @@ def test_ann_topk_is_bucket_join_not_scan(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_is_cell_join_not_scan(spark):
+    emb = _embeddings(spark)
+    df = SIM.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=8, nprobe=2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

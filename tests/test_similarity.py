@@ -63,3 +63,36 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     assert len(exact) == 15 and (0, 1) in exact
     assert set(capped) == {(0, 1)}
     assert capped[(0, 1)] == 1.0  # identical docs over the capped space
+
+
+def test_ann_ivf_recall_and_trained_anchors(spark):
+    from crawlspark.operators.similarity import (
+        ann_ivf_topk, cosine_topk, ivf_anchors, train_ivf_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # default deterministic anchors (the oracle-checked path)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+
+    # trained spherical k-means anchors: unit-norm, right shape, and the
+    # query still returns well-formed ranked output
+    cents = train_ivf_kmeans(emb, n_cells=8)
+    assert cents.shape == (8, 64)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    trained = ann_ivf_topk(
+        emb, queries, k=5, n_cells=8, nprobe=3, anchors=cents
+    ).collect()
+    assert trained and all(1 <= r["rank"] <= 5 for r in trained)
