@@ -167,15 +167,27 @@ class CrawlEngine:
         self._state_ver: dict[str, int] = {}
         self._delta_ver: dict[str, int] = {}
         self._state_parts: dict[str, list[str]] = {}
-        self.bloom = (
-            BloomSeenFilter(
+        # membership pre-filter for the seen anti-join: 'bloom' (OR-merge
+        # bitarrays) or 'cuckoo' (16-bit fingerprints, overflow-safe) —
+        # both uphold the no-false-negative exactness contract
+        filt_kind = config.extra.get(
+            "seen_filter", "bloom" if config.extra.get("use_bloom") else None
+        )
+        if filt_kind == "bloom":
+            self.bloom = BloomSeenFilter(
                 n_buckets=config.frontier_buckets,
                 bits_per_key=config.bloom_bits_per_key,
                 expected_keys_per_bucket=int(config.extra.get("bloom_keys_per_bucket", 100_000)),
             )
-            if config.extra.get("use_bloom")
-            else None
-        )
+        elif filt_kind == "cuckoo":
+            from crawlspark.operators.membership import CuckooSeenFilter
+
+            self.bloom = CuckooSeenFilter(
+                n_buckets=config.frontier_buckets,
+                expected_keys_per_bucket=int(config.extra.get("bloom_keys_per_bucket", 100_000)),
+            )
+        else:
+            self.bloom = None
         self.bloom_state: DataFrame | None = None
         self.checkpoint_interval = checkpoint_interval
         self.pace_wallclock = pace_wallclock
