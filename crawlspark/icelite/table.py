@@ -100,27 +100,58 @@ class IceliteCatalog:
 
         import pyarrow.parquet as _pq
 
+        # manifest column stats: per-file min/max for these columns when
+        # present (Iceberg's lower/upper bounds) — the pruning surface a
+        # stats-aware scheduler reads (e.g. per-domain frontier heads)
+        STATS_COLS = ("discovery_seq", "registered_domain", "url_hash", "depth")
+
         def _scan(path: str) -> list[dict[str, Any]]:
             """Per-partition (per-data-file) lineage metrics: bytes from
-            the filesystem, rows from the parquet footer — no Spark job.
-            This is the manifest's north_rule surface: every data file a
-            snapshot references carries its own row/byte accounting."""
+            the filesystem, rows + column bounds from the parquet footer —
+            no Spark job. This is the manifest's north_rule surface:
+            every data file a snapshot references carries its own
+            row/byte/bounds accounting."""
             out = []
             for dirpath, _, fnames in os.walk(path):
                 for fn in sorted(fnames):
-                    if fn.endswith(".parquet"):
-                        fp = os.path.join(dirpath, fn)
-                        try:
-                            nrows = _pq.ParquetFile(fp).metadata.num_rows
-                        except Exception:
-                            nrows = -1
-                        out.append(
-                            {
-                                "file": os.path.relpath(fp, self.root),
-                                "bytes": os.path.getsize(fp),
-                                "rows": nrows,
-                            }
-                        )
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(dirpath, fn)
+                    nrows, bounds = -1, {}
+                    try:
+                        md = _pq.ParquetFile(fp).metadata
+                        nrows = md.num_rows
+                        names = {
+                            md.schema.column(i).name: i
+                            for i in range(md.num_columns)
+                        }
+                        for col in STATS_COLS:
+                            ci = names.get(col)
+                            if ci is None:
+                                continue
+                            lo, hi = None, None
+                            for rg in range(md.num_row_groups):
+                                st = md.row_group(rg).column(ci).statistics
+                                if st is None or not st.has_min_max:
+                                    lo = hi = None
+                                    break
+                                lo = st.min if lo is None else min(lo, st.min)
+                                hi = st.max if hi is None else max(hi, st.max)
+                            if lo is not None:
+                                bounds[col] = [
+                                    lo if not isinstance(lo, bytes) else lo.decode("utf-8", "replace"),
+                                    hi if not isinstance(hi, bytes) else hi.decode("utf-8", "replace"),
+                                ]
+                    except Exception:
+                        pass
+                    entry = {
+                        "file": os.path.relpath(fp, self.root),
+                        "bytes": os.path.getsize(fp),
+                        "rows": nrows,
+                    }
+                    if bounds:
+                        entry["bounds"] = bounds
+                    out.append(entry)
             return out
 
         def _lineage(name: str, files: list[dict[str, Any]]) -> dict[str, Any]:

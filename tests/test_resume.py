@@ -50,6 +50,12 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
         comp["files"]
     )
     assert comp["rows"] == b2.completed.count()
+    # column bounds (Iceberg lower/upper) recorded for the stats columns
+    bounded = [f for f in comp["files"] if f.get("rows") and f.get("bounds")]
+    assert bounded, "no per-file column bounds in the manifest"
+    f0 = bounded[0]["bounds"]
+    assert "discovery_seq" in f0 and f0["discovery_seq"][0] <= f0["discovery_seq"][1]
+    assert "registered_domain" in f0
     rounds_meta = snap.meta["rounds"]
     assert rounds_meta and all(
         "scheduled" in r and "by_status" in r for r in rounds_meta
