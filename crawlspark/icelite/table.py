@@ -74,6 +74,25 @@ class IceliteCatalog:
             return None
         return spark.read.parquet(*paths)
 
+    def prune_files(
+        self, snapshot: Snapshot, name: str, col: str, lo, hi
+    ) -> list[str] | None:
+        """Manifest-level scan pruning: absolute paths of the table's
+        data files whose [min, max] bounds for ``col`` intersect
+        [lo, hi]. Files without recorded bounds are kept (never prune
+        blind). Returns None when the table has no file list — caller
+        falls back to the full paths(). This is the read-side contract
+        the bounds exist for (Iceberg's scan planning)."""
+        info = snapshot.tables.get(name)
+        if info is None or not info.get("files"):
+            return None
+        keep = []
+        for f in info["files"]:
+            b = (f.get("bounds") or {}).get(col)
+            if b is None or not (hi < b[0] or lo > b[1]):
+                keep.append(os.path.join(self.root, f["file"]))
+        return keep
+
     def paths(self, snapshot: Snapshot, name: str) -> list[str]:
         """Absolute data paths of a table in a snapshot (single-dir tables
         and append-only multi-part tables alike)."""

@@ -60,3 +60,36 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert rounds_meta and all(
         "scheduled" in r and "by_status" in r for r in rounds_meta
     )
+
+
+def test_manifest_bounds_prune_file_scans(spark, tmp_path):
+    """prune_files: manifest bounds select only the data files whose
+    column range intersects the predicate — the scan-planning contract
+    of the per-file stats."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "cat"))
+    # three disjoint discovery_seq ranges → three referenced delta dirs
+    parts = []
+    for i, (a, b) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        p = str(tmp_path / f"delta{i}")
+        spark.range(a, b).select(
+            F.col("id").alias("discovery_seq"),
+            F.lit(f"d{i}.example").alias("registered_domain"),
+        ).repartition(1).write.parquet(p)
+        parts.append(p)
+    snap = cat.commit({"frontier": parts}, meta={})
+
+    all_files = cat.prune_files(snap, "frontier", "discovery_seq", 0, 10**9)
+    assert len(all_files) == 3
+    head = cat.prune_files(snap, "frontier", "discovery_seq", 0, 50)
+    assert len(head) == 1
+    rows = spark.read.parquet(*head).agg(F.min("discovery_seq")).first()[0]
+    assert rows == 0
+    mid = cat.prune_files(snap, "frontier", "discovery_seq", 150, 250)
+    assert len(mid) == 2
+    by_dom = cat.prune_files(snap, "frontier", "registered_domain", "d2", "d2.zzz")
+    assert len(by_dom) == 1
+    assert cat.prune_files(snap, "missing", "discovery_seq", 0, 1) is None
