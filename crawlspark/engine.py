@@ -362,12 +362,22 @@ class CrawlEngine:
 
     def _compact_pending(self) -> None:
         """Fold tombstones into a single base part (O(frontier), run at
-        snapshot commits / tombstone pile-up only)."""
+        snapshot commits / tombstone pile-up only). The compacted layout
+        is range-partitioned + sorted on (registered_domain,
+        discovery_seq): every data file then carries TIGHT manifest
+        bounds for both columns (icelite records them), which is the
+        groundwork for the stats-pruned frontier-heads scheduler
+        (BASELINE.md 'Known next scale step') — each domain's FIFO head
+        lives in the first file whose domain range covers it."""
         if not self._state_parts.get("popped") and len(
             self._state_parts.get("pending", [])
         ) <= 1:
             return
-        self._append_state_delta(self.pending, "pending", single=False)
+        compacted = self.pending.repartitionByRange(
+            max(2, self.spark.sparkContext.defaultParallelism),
+            "registered_domain", "discovery_seq",
+        ).sortWithinPartitions("registered_domain", "discovery_seq")
+        self._append_state_delta(compacted, "pending", single=False)
         self._state_parts["pending"] = [self._state_parts["pending"][-1]]
         self._state_parts["popped"] = []
 
@@ -555,9 +565,15 @@ class CrawlEngine:
             self._compact_pending()
 
     def _commit_snapshot(self) -> None:
+        # snapshot pending in the sorted range-partitioned layout (tight
+        # per-file manifest bounds; see _compact_pending)
+        pending_sorted = self.pending.repartitionByRange(
+            max(2, self.spark.sparkContext.defaultParallelism),
+            "registered_domain", "discovery_seq",
+        ).sortWithinPartitions("registered_domain", "discovery_seq")
         snap = self.catalog.commit(
             {
-                "pending": self.pending,
+                "pending": pending_sorted,
                 "rules": self.rules,
                 "completed": list(self._state_parts.get("completed", [])),
                 "bad": list(self._state_parts.get("bad", [])),
