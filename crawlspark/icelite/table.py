@@ -70,7 +70,8 @@ class IceliteCatalog:
         if info is None:
             return None
         paths = self.paths(snapshot, name)
-        if not paths or info["rows"] == 0:
+        # rows == 0 means empty only when every footer was readable
+        if not paths or (info["rows"] == 0 and not info.get("rows_unknown")):
             return None
         return spark.read.parquet(*paths)
 
@@ -136,7 +137,9 @@ class IceliteCatalog:
                     if not fn.endswith(".parquet"):
                         continue
                     fp = os.path.join(dirpath, fn)
-                    nrows, bounds = -1, {}
+                    # rows=None on footer-read failure — never a sentinel
+                    # that could be summed into table totals (ADVICE r2)
+                    nrows, bounds = None, {}
                     try:
                         md = _pq.ParquetFile(fp).metadata
                         nrows = md.num_rows
@@ -187,20 +190,32 @@ class IceliteCatalog:
                 "existing": len(cur & prev),
             }
 
+        def _rows_total(files: list[dict[str, Any]]) -> tuple[int, int]:
+            """(sum of known per-file rows, count of files whose footer was
+            unreadable). Unknown files are EXCLUDED from the sum — the
+            resume audits and fast counts treat the total as exact only
+            when rows_unknown == 0."""
+            known = sum(f["rows"] for f in files if f["rows"] is not None)
+            unknown = sum(1 for f in files if f["rows"] is None)
+            return known, unknown
+
         for name, df in dfs.items():
             if isinstance(df, list):
                 rels = [os.path.relpath(p, self.root) for p in df]
                 files = [f for p in df for f in _scan(p)]
-                rows = sum(f["rows"] for f in files) if files else 0
+                rows, unknown = _rows_total(files)
                 tables[name] = {
                     "paths": rels, "rows": rows, "files": files,
                     "lineage": _lineage(name, files),
                 }
+                if unknown:
+                    tables[name]["rows_unknown"] = unknown
                 continue
             rel = os.path.join("data", f"snap-{sid:06d}", name)
             path = os.path.join(self.root, rel)
             rows = 0
             files = []
+            unknown = 0
             if df is not None:
                 writer = df.write.mode("overwrite")
                 pby = (partition_by or {}).get(name)
@@ -208,11 +223,13 @@ class IceliteCatalog:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
                 files = _scan(path)
-                rows = sum(f["rows"] for f in files) if files else 0
+                rows, unknown = _rows_total(files)
             tables[name] = {
                 "path": rel, "rows": rows, "files": files,
                 "lineage": _lineage(name, files),
             }
+            if unknown:
+                tables[name]["rows_unknown"] = unknown
         snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
 
         mrel = os.path.join("manifests", f"snapshot-{sid:06d}.json")

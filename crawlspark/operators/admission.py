@@ -148,6 +148,13 @@ def admit(
     all_new_rules: DataFrame | None = None
     batch = candidates
     seq = next_seq
+    # cache-coherence guard (ADVICE r2): when a pass takes the relational
+    # branch, the domains it probes must reach known_domains before a LATER
+    # pass takes the fast path, or that pass re-probes them (duplicate rule
+    # rows in all_new_rules + the persisted table). We sync the cache from
+    # the materialized new_rules when it is cheaply readable; otherwise the
+    # fast path stays disabled for the remainder of THIS call.
+    fast_ok = True
 
     for _ in range(3):
         if batch.isEmpty():
@@ -197,7 +204,7 @@ def admit(
         new_doms = None
         batch_doms = (
             local_values(fresh, "registered_domain")
-            if (known_domains is not None and local_values is not None)
+            if (fast_ok and known_domains is not None and local_values is not None)
             else None
         )
         if batch_doms is not None:
@@ -235,6 +242,16 @@ def admit(
             all_new_rules = (
                 new_rules if all_new_rules is None else all_new_rules.union(new_rules)
             )
+            if known_domains is not None:
+                doms = (
+                    local_values(new_rules, "registered_domain")
+                    if local_values is not None
+                    else None
+                )
+                if doms is not None:
+                    known_domains.update(doms)
+                else:
+                    fast_ok = False
 
         # robots gate against (existing ∪ new) rules
         eff_rules = rules.union(all_new_rules) if all_new_rules is not None else rules

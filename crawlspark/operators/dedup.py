@@ -31,14 +31,37 @@ MINHASH_K = 32
 MINHASH_BANDS = 16  # rows per band = 2
 
 
+# persist registry (ADVICE r2): intermediates cached inside the dedup
+# entry points are released on the NEXT invocation of any entry point —
+# bench loops and multi-round use would otherwise accumulate cached
+# blocks in executor storage forever. Unpersisting a frame a still-held
+# lazy plan references is safe (it just recomputes).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small-file guard: a sub-128MB parquet input arrives as ONE
     partition and serializes every downstream expression onto one core
     (the sf0.1 bench read 5000 docs as a single task). Spread the input
     across the cluster's cores before the expression-heavy stages; the
-    shuffle moves only the raw rows once."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    shuffle moves only the raw rows once. Unconditional — probing the
+    current partition count via df.rdd builds an RDD plan per invocation
+    (VERDICT r2), and AQE coalesces the shuffle back down when the input
+    is already wide."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def text_shingles(text: Column, n: int = 3) -> Column:
@@ -88,13 +111,14 @@ def ngram_jaccard_pairs(
     index and the per-doc sizes, i.e. Jaccard is computed exactly over
     the capped shingle space (the standard stopword-shingle cut). None
     (default) keeps the fully exact semantics the DuckDB oracle checks."""
+    release_caches()
     df = _spread(df)
     # persisted: sh feeds the inverted-index join twice (a/b aliases) and
     # the per-doc size aggregate — without it the shingle expression tree
     # re-evaluates once per branch
-    sh = df.select(
+    sh = _persist(df.select(
         F.col(id_col).alias("doc"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
-    ).persist()
+    ))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -102,7 +126,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(hot, "sh", "left_anti").persist()
+        sh = _persist(sh.join(hot, "sh", "left_anti"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
@@ -192,13 +216,14 @@ def minhash_lsh_pairs(
     by banding (P(miss) ≤ (1−τ^(k/bands))^bands — negligible for τ ≥ 0.5
     with k=32, b=16)."""
     rows = k // bands
+    release_caches()
     df = _spread(df)
     # persisted: base feeds the signature AND both sides of the verify
     # join; banded self-joins against itself — each would otherwise
     # re-evaluate the whole shingle/signature expression tree per branch
-    base = df.select(
+    base = _persist(df.select(
         F.col(id_col).alias("doc"), text_shingles(F.col(text_col), n).alias("shs")
-    ).persist()
+    ))
     sig = minhash_signatures(base, "doc", "shs", k)
     band_structs = F.array(
         *[
@@ -213,9 +238,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc", F.explode(band_structs).alias("bk")).select(
+    banded = _persist(sig.select("doc", F.explode(band_structs).alias("bk")).select(
         "doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
-    ).persist()
+    ))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])
@@ -316,36 +341,52 @@ def embedding_neardup_pairs(
     )
     rep = vecs.join(F.broadcast(pairmap), "block")
 
+    # output id columns take the INPUT id column's type — long, string, …
+    # (a hardcoded LongType broke non-long ids; ADVICE r2)
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
 
+    def _unit_rows(m: np.ndarray) -> np.ndarray:
+        # zero-norm vectors normalize to the zero row (cosine 0 with
+        # everything → explicitly no-match) instead of NaN (ADVICE r2)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = np.inf
+        return m / nrm
+
     def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "cosine": pd.Series([], dtype=float),
+            }
+        )
         diag = bool(pdf["diag"].iloc[0]) if len(pdf) else True
         a = pdf[pdf["role"] == "a"]
         b = pdf[pdf["role"] == "b"]
         if len(a) == 0 or (not diag and len(b) == 0):
             return empty
         ids_a = a["vid"].to_numpy()
-        mat_a = np.stack(a["v"].to_numpy()).astype(np.float64)
-        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        mat_a = _unit_rows(np.stack(a["v"].to_numpy()).astype(np.float64))
         if diag:  # diagonal block: distinct pairs of A×A
             ids_b, mat_b = ids_a, mat_a
         else:
             ids_b = b["vid"].to_numpy()
-            mat_b = np.stack(b["v"].to_numpy()).astype(np.float64)
-            mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+            mat_b = _unit_rows(np.stack(b["v"].to_numpy()).astype(np.float64))
         cos = np.round(mat_a @ mat_b.T, 6)
         ii, jj = np.where(cos >= threshold)
         ia, ib, cs = ids_a[ii], ids_b[jj], cos[ii, jj]
         keep = ia != ib
         ia, ib, cs = ia[keep], ib[keep], cs[keep]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        # np.where (not np.minimum) so object-dtype ids (strings) order too
+        swap = ia > ib
+        lo, hi = np.where(swap, ib, ia), np.where(swap, ia, ib)
         outp = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
         return outp.drop_duplicates(["id_a", "id_b"])
 

@@ -72,11 +72,15 @@ class CuckooSeenFilter:
     fingerprints, 4-way cells) and mergeable by entry re-insertion.
 
     Layout per hash bucket: a (n_cells × 4) uint16 fingerprint table.
-    fp = 16 bits of the key (never 0); home cell i1 = key mod n_cells;
-    alternate i2 = i1 XOR (fp·0x5bd1e995) mod n_cells (partial-key
-    cuckoo). If an insert's kick chain overflows, the bucket sets an
-    ``overflow`` flag and probes answer True for everything in it — the
-    filter degrades to the exact anti-join instead of ever lying
+    fp = 16 bits of the key (never 0); home cell i1 = a MULTIPLICATIVE
+    hash of the key mod n_cells — NOT key mod n_cells, which aliases with
+    the bucket key pmod(key, n_buckets): within one bucket all keys share
+    key mod n_buckets, so a plain modulus reaches only n_cells/n_buckets
+    home cells and the table overflows at a fraction of design load
+    (ADVICE r2). Alternate i2 = i1 XOR (fp·0x5bd1e995) mod n_cells
+    (partial-key cuckoo). If an insert's kick chain overflows, the bucket
+    sets an ``overflow`` flag and probes answer True for everything in
+    it — the filter degrades to the exact anti-join instead of ever lying
     negative."""
 
     MAX_KICKS = 500
@@ -98,7 +102,10 @@ class CuckooSeenFilter:
         return fp
 
     def _i1(self, keys: np.ndarray) -> np.ndarray:
-        return (keys.astype(np.uint64) % np.uint64(self.n_cells)).astype(np.int64)
+        # Fibonacci-multiplicative mix so home cells spread over the whole
+        # table independently of the bucket modulus (see class docstring)
+        mixed = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((mixed >> np.uint64(17)) % np.uint64(self.n_cells)).astype(np.int64)
 
     def _alt(self, cell: np.ndarray, fp: np.ndarray) -> np.ndarray:
         h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(self.n_cells)
