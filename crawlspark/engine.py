@@ -41,12 +41,12 @@ from pyspark.sql import types as T
 from crawlspark.config import CrawlConfig
 from crawlspark.functions import traps
 from crawlspark.functions import urls as U
-from crawlspark.icelite import IceliteCatalog
+from crawlspark.icelite import IceliteCatalog, scan_parquet_stats
 from crawlspark.operators import admission as ADM
 from crawlspark.operators import badurls as BAD
 from crawlspark.operators import fetch as FE
 from crawlspark.operators.membership import BloomSeenFilter
-from crawlspark.operators.schedule import schedule_round
+from crawlspark.operators.schedule import schedule_round, select_head_files
 
 FRONTIER_FIELDS = [
     ("url", T.StringType()),
@@ -131,6 +131,9 @@ class RoundStats:
     new_urls: int
     by_status: dict[str, int]
     seconds: float
+    # schedule-scan telemetry (stats-pruned frontier heads): files/rows the
+    # schedule actually read vs the full frontier; None = full scan ran
+    sched_scan: dict | None = None
 
 
 @dataclass
@@ -204,6 +207,24 @@ class CrawlEngine:
         self._known_doms_limit = int(
             config.extra.get("known_domains_cache_limit", 1_000_000)
         )
+        # politeness key (reference keys its queues + robots cache on
+        # netloc, crawler/frontier.py:42/:136-141; registered_domain is the
+        # stricter default that also covers subdomain-farm abuse)
+        self._key_col = (
+            "host" if config.extra.get("politeness_key") == "netloc"
+            else "registered_domain"
+        )
+        # stats-pruned frontier-heads scheduling (north_rule 10^10 scan):
+        # when the pending base is the sorted compacted layout, each round
+        # reads only per-key head files (footer/manifest bounds) + deltas
+        # + tombstones instead of the whole frontier
+        self._heads_sched = bool(config.extra.get("heads_scheduling", True))
+        self._sorted_base: str | None = None  # path of the sorted base part
+        self._fstats_cache: dict[str, list[dict]] = {}
+        # target rows per data file in the compacted layout — file count
+        # scales with frontier size so the per-round heads scan stays
+        # O(#keys × file_rows), not O(frontier)
+        self._pending_file_rows = int(config.extra.get("pending_file_rows", 1_000_000))
         self._load_corpus()
 
     # ------------------------------------------------------------------
@@ -360,26 +381,101 @@ class CrawlEngine:
         t = self.spark.read.parquet(*tombs).select("url_hash")
         return base.join(t, "url_hash", "left_anti")
 
-    def _compact_pending(self) -> None:
+    def _pending_rows_estimate(self) -> int:
+        """Upper bound on pending rows from local parquet footers (tombs
+        not subtracted); 0 when footers aren't locally readable."""
+        total = 0
+        for p in self._state_parts.get("pending", []):
+            n = _pq_rows(p)
+            if n:
+                total += n
+        return total
+
+    def _sorted_layout(self, df: DataFrame) -> DataFrame:
+        """The compacted frontier layout: range-partitioned + sorted on
+        (politeness key, discovery_seq) so every data file carries TIGHT
+        footer/manifest bounds for both columns and each key's FIFO head
+        lives in the first file whose key range covers it. Partition count
+        scales with frontier rows (pending_file_rows per file) — the
+        heads scheduler's per-round scan is then O(#keys × file_rows)
+        regardless of frontier depth."""
+        n = self._pending_rows_estimate()
+        parts = max(
+            2,
+            self.spark.sparkContext.defaultParallelism,
+            n // self._pending_file_rows + 1,
+        )
+        return df.repartitionByRange(
+            parts, self._key_col, "discovery_seq"
+        ).sortWithinPartitions(self._key_col, "discovery_seq")
+
+    def _compact_pending(self, force: bool = False) -> None:
         """Fold tombstones into a single base part (O(frontier), run at
-        snapshot commits / tombstone pile-up only). The compacted layout
-        is range-partitioned + sorted on (registered_domain,
-        discovery_seq): every data file then carries TIGHT manifest
-        bounds for both columns (icelite records them), which is the
-        groundwork for the stats-pruned frontier-heads scheduler
-        (BASELINE.md 'Known next scale step') — each domain's FIFO head
-        lives in the first file whose domain range covers it."""
-        if not self._state_parts.get("popped") and len(
+        snapshot commits / tombstone pile-up only) in the sorted layout
+        (see _sorted_layout) the stats-pruned heads scheduler reads."""
+        if not force and not self._state_parts.get("popped") and len(
             self._state_parts.get("pending", [])
         ) <= 1:
             return
-        compacted = self.pending.repartitionByRange(
-            max(2, self.spark.sparkContext.defaultParallelism),
-            "registered_domain", "discovery_seq",
-        ).sortWithinPartitions("registered_domain", "discovery_seq")
+        compacted = self._sorted_layout(self.pending)
         self._append_state_delta(compacted, "pending", single=False)
         self._state_parts["pending"] = [self._state_parts["pending"][-1]]
         self._state_parts["popped"] = []
+        self._sorted_base = self._state_parts["pending"][0]
+
+    # -- stats-pruned frontier-heads scheduling -------------------------
+    def _file_stats(self, path: str) -> list[dict] | None:
+        """Footer stats for an immutable base part, cached. On a cluster
+        with a real Iceberg catalog these come from the snapshot manifest
+        (icelite records the identical entries); locally the parquet
+        footers are the same metadata without a Spark job."""
+        if path not in self._fstats_cache:
+            try:
+                self._fstats_cache[path] = scan_parquet_stats(path)
+            except Exception:
+                self._fstats_cache[path] = None
+        return self._fstats_cache[path]
+
+    def _pending_for_schedule(self) -> tuple[DataFrame, dict | None]:
+        """The frame schedule_round scans this round. When the pending
+        base is the sorted compacted layout, prune it to per-key head
+        files via footer/manifest bounds (select_head_files): tombstones
+        since compaction can invalidate at most K rows per key per popped
+        part, so a budget of K·(popped_parts+1) rows per key keeps every
+        key's surviving top-K readable. Falls back to the full frontier
+        whenever the invariants don't hold. Returns (frame, telemetry)."""
+        parts = self._state_parts.get("pending", [])
+        if (
+            not self._heads_sched
+            or self._sorted_base is None
+            or self._sorted_base not in parts
+        ):
+            return self.pending, None
+        entries = self._file_stats(self._sorted_base)
+        if not entries:
+            return self.pending, None
+        popped_parts = len(self._state_parts.get("popped", []))
+        budget = self.config.per_domain_quota * (popped_parts + 1)
+        sel = select_head_files(entries, self._key_col, budget)
+        if sel is None:
+            return self.pending, None
+        kept, pruned = sel
+        deltas = [p for p in parts if p != self._sorted_base]
+        paths = [e["file"] for e in kept] + deltas
+        base = self.spark.read.parquet(*paths)
+        tombs = self._state_parts.get("popped")
+        if tombs:
+            t = self.spark.read.parquet(*tombs).select("url_hash")
+            base = base.join(t, "url_hash", "left_anti")
+        kept_rows = sum(e["rows"] for e in kept)
+        pruned_rows = sum(e["rows"] for e in pruned)
+        telemetry = {
+            "files_scanned": len(kept) + len(deltas),
+            "files_pruned": len(pruned),
+            "base_rows_scanned": kept_rows,
+            "base_rows_total": kept_rows + pruned_rows,
+        }
+        return base, telemetry
 
     def _gc_scratch(self) -> None:
         import shutil
@@ -393,6 +489,10 @@ class CrawlEngine:
         if snap is not None:
             self._state_parts["pending"] = self.catalog.paths(snap, "pending")
             self._state_parts["popped"] = []
+            # snapshot pending was committed in the sorted layout — heads
+            # scheduling resumes with it immediately
+            pp = self._state_parts["pending"]
+            self._sorted_base = pp[0] if len(pp) == 1 else None
             self.rules = (
                 self.catalog.load(self.spark, snap, "rules") or self._empty(RULES_SCHEMA)
             )
@@ -431,9 +531,15 @@ class CrawlEngine:
 
     def start_from_frontier(self, pending: DataFrame, rules: DataFrame, next_seq: int) -> None:
         """Bulk-load a pre-built pending frontier (bench / resume-from-
-        external): all robots rules pre-parsed, empty memories."""
+        external): all robots rules pre-parsed, empty memories. The load
+        writes the sorted compacted layout so heads scheduling prunes
+        from round 1."""
         self.round_no = 0
         self._append_state_delta(pending, "pending", single=False)
+        # force-compact: rewrites the load into the sorted layout with the
+        # row-scaled file count (footer counts are readable only after the
+        # first write)
+        self._compact_pending(force=True)
         self.rules = rules
         self.next_seq = next_seq
         self._init_known_doms()
@@ -566,11 +672,8 @@ class CrawlEngine:
 
     def _commit_snapshot(self) -> None:
         # snapshot pending in the sorted range-partitioned layout (tight
-        # per-file manifest bounds; see _compact_pending)
-        pending_sorted = self.pending.repartitionByRange(
-            max(2, self.spark.sparkContext.defaultParallelism),
-            "registered_domain", "discovery_seq",
-        ).sortWithinPartitions("registered_domain", "discovery_seq")
+        # per-file manifest bounds; see _sorted_layout)
+        pending_sorted = self._sorted_layout(self.pending)
         snap = self.catalog.commit(
             {
                 "pending": pending_sorted,
@@ -589,6 +692,7 @@ class CrawlEngine:
                         "new_urls": r.new_urls,
                         "by_status": r.by_status,
                         "seconds": r.seconds,
+                        "sched_scan": r.sched_scan,
                     }
                     for r in self.stats.rounds[-self.checkpoint_interval :]
                 ],
@@ -598,6 +702,8 @@ class CrawlEngine:
         # compacted base and drop the tombstones it folded in
         self._state_parts["pending"] = self.catalog.paths(snap, "pending")
         self._state_parts["popped"] = []
+        pp = self._state_parts["pending"]
+        self._sorted_base = pp[0] if len(pp) == 1 else None
 
     # ------------------------------------------------------------------
     def run_round(self) -> bool:
@@ -616,7 +722,10 @@ class CrawlEngine:
         cfg = self.config
         self.round_no += 1
 
-        sched = self._mat(schedule_round(self.pending, cfg.per_domain_quota), "sched")
+        sched_src, sched_scan = self._pending_for_schedule()
+        sched = self._mat(
+            schedule_round(sched_src, cfg.per_domain_quota, self._key_col), "sched"
+        )
         n_sched = fast_count(sched)
         _mark("schedule")
         if n_sched == 0:
@@ -804,7 +913,7 @@ class CrawlEngine:
 
         dt = time.monotonic() - t0
         self.stats.rounds.append(
-            RoundStats(self.round_no, n_sched, n_new, by_status, dt)
+            RoundStats(self.round_no, n_sched, n_new, by_status, dt, sched_scan)
         )
         if self.round_no % self.checkpoint_interval == 0:
             self._commit_snapshot()

@@ -1,3 +1,3 @@
-from crawlspark.icelite.table import IceliteCatalog, Snapshot
+from crawlspark.icelite.table import IceliteCatalog, Snapshot, scan_parquet_stats
 
-__all__ = ["IceliteCatalog", "Snapshot"]
+__all__ = ["IceliteCatalog", "Snapshot", "scan_parquet_stats"]

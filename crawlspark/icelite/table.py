@@ -27,6 +27,58 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# manifest column stats: per-file min/max for these columns when present
+# (Iceberg's lower/upper bounds) — the pruning surface a stats-aware
+# scheduler reads (per-domain frontier heads; host for netloc politeness)
+STATS_COLS = ("discovery_seq", "registered_domain", "host", "url_hash", "depth")
+
+
+def scan_parquet_stats(path: str) -> list[dict[str, Any]]:
+    """Per-data-file lineage metrics for every parquet file under
+    ``path``: bytes from the filesystem, rows + column bounds from the
+    parquet footer — no Spark job. ``file`` is ABSOLUTE here; callers
+    that store entries in a manifest relativize it. rows is None when
+    the footer can't be read (never a sentinel that could be summed)."""
+    import pyarrow.parquet as _pq
+
+    out = []
+    for dirpath, _, fnames in os.walk(path):
+        for fn in sorted(fnames):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            nrows, bounds = None, {}
+            try:
+                md = _pq.ParquetFile(fp).metadata
+                nrows = md.num_rows
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for col in STATS_COLS:
+                    ci = names.get(col)
+                    if ci is None:
+                        continue
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if lo is not None:
+                        bounds[col] = [
+                            lo if not isinstance(lo, bytes) else lo.decode("utf-8", "replace"),
+                            hi if not isinstance(hi, bytes) else hi.decode("utf-8", "replace"),
+                        ]
+            except Exception:
+                pass
+            entry = {"file": fp, "bytes": os.path.getsize(fp), "rows": nrows}
+            if bounds:
+                entry["bounds"] = bounds
+            out.append(entry)
+    return out
+
 
 @dataclass
 class Snapshot:
@@ -118,63 +170,16 @@ class IceliteCatalog:
         sid = (parent.snapshot_id + 1) if parent else 0
         tables: dict[str, dict[str, Any]] = {}
 
-        import pyarrow.parquet as _pq
-
-        # manifest column stats: per-file min/max for these columns when
-        # present (Iceberg's lower/upper bounds) — the pruning surface a
-        # stats-aware scheduler reads (e.g. per-domain frontier heads)
-        STATS_COLS = ("discovery_seq", "registered_domain", "url_hash", "depth")
-
         def _scan(path: str) -> list[dict[str, Any]]:
-            """Per-partition (per-data-file) lineage metrics: bytes from
-            the filesystem, rows + column bounds from the parquet footer —
-            no Spark job. This is the manifest's north_rule surface:
-            every data file a snapshot references carries its own
-            row/byte/bounds accounting."""
-            out = []
-            for dirpath, _, fnames in os.walk(path):
-                for fn in sorted(fnames):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    fp = os.path.join(dirpath, fn)
-                    # rows=None on footer-read failure — never a sentinel
-                    # that could be summed into table totals (ADVICE r2)
-                    nrows, bounds = None, {}
-                    try:
-                        md = _pq.ParquetFile(fp).metadata
-                        nrows = md.num_rows
-                        names = {
-                            md.schema.column(i).name: i
-                            for i in range(md.num_columns)
-                        }
-                        for col in STATS_COLS:
-                            ci = names.get(col)
-                            if ci is None:
-                                continue
-                            lo, hi = None, None
-                            for rg in range(md.num_row_groups):
-                                st = md.row_group(rg).column(ci).statistics
-                                if st is None or not st.has_min_max:
-                                    lo = hi = None
-                                    break
-                                lo = st.min if lo is None else min(lo, st.min)
-                                hi = st.max if hi is None else max(hi, st.max)
-                            if lo is not None:
-                                bounds[col] = [
-                                    lo if not isinstance(lo, bytes) else lo.decode("utf-8", "replace"),
-                                    hi if not isinstance(hi, bytes) else hi.decode("utf-8", "replace"),
-                                ]
-                    except Exception:
-                        pass
-                    entry = {
-                        "file": os.path.relpath(fp, self.root),
-                        "bytes": os.path.getsize(fp),
-                        "rows": nrows,
-                    }
-                    if bounds:
-                        entry["bounds"] = bounds
-                    out.append(entry)
-            return out
+            """Per-partition (per-data-file) lineage metrics via the
+            module-level ``scan_parquet_stats``, relativized to the
+            catalog root — the manifest's north_rule surface: every data
+            file a snapshot references carries its own row/byte/bounds
+            accounting."""
+            entries = scan_parquet_stats(path)
+            for e in entries:
+                e["file"] = os.path.relpath(e["file"], self.root)
+            return entries
 
         def _lineage(name: str, files: list[dict[str, Any]]) -> dict[str, Any]:
             """File-level diff vs the parent snapshot (Iceberg's

@@ -23,9 +23,14 @@ from pyspark.sql import functions as F
 SALT_BUCKETS = 8  # phase-1 salt fan-out for hot registered domains
 
 
-def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
-    """Pick the next micro-batch: K lowest-seq pending URLs per registered
-    domain. Returns the scheduled rows (all frontier columns).
+def schedule_round(
+    pending: DataFrame, quota_per_domain: int = 1,
+    key_col: str = "registered_domain",
+) -> DataFrame:
+    """Pick the next micro-batch: K lowest-seq pending URLs per politeness
+    key (``key_col``: registered_domain, or host for netloc politeness —
+    the reference keys its queues on netloc, frontier.py:42). Returns the
+    scheduled rows (all frontier columns).
 
     Two-phase top-K: (1) map-side partial — per shuffle partition keep at
     most K rows per domain via a partition-local window after a
@@ -40,12 +45,10 @@ def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
         # north_rule's 10^8+ domains is a multi-GB build side. AQE picks
         # broadcast when heads is actually small and a shuffled hash join
         # otherwise (skew-split if a salted key ever funnels).
-        heads = pending.groupBy("registered_domain").agg(
+        heads = pending.groupBy(key_col).agg(
             F.min("discovery_seq").alias("discovery_seq")
         )
-        return pending.join(
-            heads, ["registered_domain", "discovery_seq"], "left_semi"
-        )
+        return pending.join(heads, [key_col, "discovery_seq"], "left_semi")
     # K>1: salted two-phase top-K (north_rule hot-domain skew handling).
     # Phase 1 ranks within (domain, salt) — the hot domain's pending rows
     # split across SALT_BUCKETS partitions instead of one — keeping at
@@ -55,17 +58,69 @@ def schedule_round(pending: DataFrame, quota_per_domain: int = 1) -> DataFrame:
     # window by construction (phase 1 never drops a global top-K row:
     # a row in the domain top-K is in its salt's top-K).
     salt = F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
-    w1 = Window.partitionBy("registered_domain", salt).orderBy(
-        F.col("discovery_seq").asc()
-    )
+    w1 = Window.partitionBy(key_col, salt).orderBy(F.col("discovery_seq").asc())
     survivors = (
         pending.withColumn("_rn1", F.row_number().over(w1))
         .filter(F.col("_rn1") <= quota_per_domain)
         .drop("_rn1")
     )
-    w2 = Window.partitionBy("registered_domain").orderBy(F.col("discovery_seq").asc())
+    w2 = Window.partitionBy(key_col).orderBy(F.col("discovery_seq").asc())
     return (
         survivors.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= quota_per_domain)
         .drop("_rn")
     )
+
+
+def select_head_files(
+    entries: list[dict], key_col: str = "registered_domain", budget: int = 1,
+) -> tuple[list[dict], list[dict]] | None:
+    """Stats-pruned frontier-heads scan planning (the north_rule's
+    O(#domains)-per-tick scheduler; VERDICT r2 #1).
+
+    ``entries`` are manifest/footer file stats for the COMPACTED pending
+    layout — range-partitioned and sorted on (key_col, discovery_seq), so
+    per-file (key, seq) tuple ranges are disjoint and each file carries
+    tight [min, max] bounds for both columns. ``budget`` is the number of
+    lowest-seq rows per key that must remain readable: tombstones appended
+    since compaction can invalidate at most (rounds-since-compaction × K)
+    head rows per key, so the caller passes that bound + K and the
+    selected files are guaranteed to contain every key's surviving top-K.
+
+    Rule: a file is prunable iff it is a PURE CONTINUATION — its key range
+    is a single key that also ends the previous file's range (so the key's
+    head lies strictly earlier) — and at least ``budget`` rows of that key
+    have already been kept from earlier single-key files. Mixed files are
+    always kept (they contain some key's head); files without bounds or
+    row counts abort pruning entirely (return None → caller full-scans).
+
+    Returns (kept_entries, pruned_entries)."""
+    prepared = []
+    for e in entries:
+        b = e.get("bounds") or {}
+        kb, sb = b.get(key_col), b.get("discovery_seq")
+        if kb is None or sb is None or e.get("rows") is None:
+            return None  # never prune blind
+        prepared.append((kb[0], sb[0], kb[1], e))
+    prepared.sort(key=lambda t: (t[0], t[1], t[2]))
+
+    kept: list[dict] = []
+    pruned: list[dict] = []
+    run_key = None   # key whose single-key run we are walking
+    run_rows = 0     # rows of run_key confirmed kept from single-key files
+    prev_hi = None
+    for k_lo, _s_lo, k_hi, e in prepared:
+        single = k_lo == k_hi
+        if single and k_lo == prev_hi and run_key == k_lo and run_rows >= budget:
+            pruned.append(e)
+            prev_hi = k_hi
+            continue
+        kept.append(e)
+        if single:
+            run_rows = run_rows + e["rows"] if run_key == k_lo else e["rows"]
+            run_key = k_lo
+        else:
+            # mixed file: ends in k_hi with an unknown number of its rows
+            run_key, run_rows = k_hi, 0
+        prev_hi = k_hi
+    return kept, pruned

@@ -113,6 +113,15 @@ class OracleCrawl:
             r["url"] for r in pq.read_table(f"{self.corpus_dir}/seeds.parquet").to_pylist()
         ]
 
+    def _politeness_key(self, row: Row) -> str:
+        """Queue key: registered domain (engine default) or netloc — the
+        reference keys its per-domain queues on netloc
+        (crawler/frontier.py:42), so sibling subdomains fetch in the same
+        politeness tick under 'netloc'."""
+        if self.config.extra.get("politeness_key") == "netloc":
+            return row.host
+        return row.rdom
+
     # -- admission (Frontier.add_url twin) -----------------------------
     def _valid(self, raw: str, src: str) -> bool:
         p = urlparse(re.sub("#.*$", "", raw))
@@ -171,7 +180,7 @@ class OracleCrawl:
                 self.next_seq += 1
                 self.rows[key] = row
                 if allowed:
-                    self.queues[rdom].append(key)
+                    self.queues[self._politeness_key(row)].append(key)
             batch = []
             for rank, dom in enumerate(sorted(set(new_doms)), start=1):
                 for pos, loc in enumerate(self._sitemap_page_locs(dom)):

@@ -1,0 +1,140 @@
+"""Stats-pruned frontier-heads scheduling (VERDICT r2 #1): the schedule
+must read only per-key head files of the sorted compacted layout (plus
+deltas + tombstones) and still produce byte-identical crawls."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from crawlspark import benchcorpus as BC
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.operators.robots import parse_robots
+from crawlspark.operators.schedule import select_head_files
+
+
+def _entry(f, rows, d_lo, d_hi, s_lo, s_hi):
+    return {
+        "file": f, "rows": rows,
+        "bounds": {
+            "registered_domain": [d_lo, d_hi],
+            "discovery_seq": [s_lo, s_hi],
+        },
+    }
+
+
+def test_select_head_files_unit():
+    # layout: f0 mixed (a..b), f1/f2/f3 pure-b continuations, f4 mixed (b..c)
+    entries = [
+        _entry("f0", 100, "a", "b", 0, 99),
+        _entry("f1", 100, "b", "b", 100, 199),
+        _entry("f2", 100, "b", "b", 200, 299),
+        _entry("f3", 100, "b", "b", 300, 399),
+        _entry("f4", 100, "b", "c", 400, 499),
+    ]
+    kept, pruned = select_head_files(entries, budget=1)
+    # f0 mixed → kept (holds a's and b's heads); f1 kept (first confirmed-b
+    # rows — f0 is mixed so its b-count is unknown); f2/f3 pruned once 100
+    # confirmed b-rows are covered; f4 mixed → kept (holds c's head)
+    assert [e["file"] for e in kept] == ["f0", "f1", "f4"]
+    assert [e["file"] for e in pruned] == ["f2", "f3"]
+
+    # a larger budget keeps more continuation rows readable
+    kept, pruned = select_head_files(entries, budget=150)
+    assert [e["file"] for e in kept] == ["f0", "f1", "f2", "f4"]
+
+    # missing bounds anywhere → no pruning at all (never prune blind)
+    broken = entries[:2] + [{"file": "fX", "rows": 10}]
+    assert select_head_files(broken, budget=1) is None
+
+    # rows=None (unreadable footer) also aborts
+    bad = [dict(e) for e in entries]
+    bad[2]["rows"] = None
+    assert select_head_files(bad, budget=1) is None
+
+
+def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6):
+    n_pages, n_domains = 4000, 6
+    pages = BC.build_pages(spark, n_pages, n_domains)
+    frontier = BC.build_frontier(spark, n_pages, n_domains)
+    robots = BC.build_robots(spark, n_domains)
+    cfg = CrawlConfig(
+        allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        per_domain_quota=quota,
+        extra={"heads_scheduling": heads, "pending_file_rows": 200},
+    )
+    eng = CrawlEngine(
+        spark, cfg, None, tempfile.mkdtemp(prefix="heads_"),
+        checkpoint_interval=3, pages=pages, robots_bodies=robots,
+        sitemap_xml=spark.createDataFrame([], "registered_domain string, xml string"),
+    )
+    eng.start_from_frontier(frontier, parse_robots(robots), next_seq=n_pages)
+    for _ in range(rounds):
+        if not eng.run_round():
+            break
+    rows = {
+        r["url"]: (r["status"], r["completed_round"], r["discovery_seq"])
+        for r in eng.all_rows().select(
+            "url", "status", "completed_round", "discovery_seq"
+        ).collect()
+    }
+    return eng, rows
+
+
+@pytest.mark.parametrize("quota", [1, 2])
+def test_heads_schedule_equals_full_scan(spark, quota):
+    """Same crawl with heads pruning ON vs OFF: identical per-URL status,
+    completion round and sequence — across compactions, snapshot commits
+    (interval 3) and accumulating tombstones (the budget logic)."""
+    eng_on, rows_on = _run_crawl(spark, heads=True, quota=quota)
+    _, rows_off = _run_crawl(spark, heads=False, quota=quota)
+    assert rows_on == rows_off
+    # the pruned path must have actually run AND pruned on this layout
+    scans = [r.sched_scan for r in eng_on.stats.rounds if r.sched_scan]
+    assert scans, "heads scheduling never engaged"
+    assert any(s["files_pruned"] > 0 for s in scans), scans
+    assert all(
+        s["base_rows_scanned"] <= s["base_rows_total"] for s in scans
+    )
+    pruned_rounds = [s for s in scans if s["files_pruned"] > 0]
+    assert all(
+        s["base_rows_scanned"] < s["base_rows_total"] for s in pruned_rounds
+    )
+
+
+def test_heads_schedule_survives_resume(spark):
+    """A resumed engine picks up the snapshot's sorted layout and keeps
+    pruning; the crawl completes identically to an unbroken run."""
+    n_pages, n_domains = 3000, 5
+    pages = BC.build_pages(spark, n_pages, n_domains)
+    frontier = BC.build_frontier(spark, n_pages, n_domains)
+    robots = BC.build_robots(spark, n_domains)
+    rules = parse_robots(robots)
+    cfg = CrawlConfig(
+        allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        extra={"pending_file_rows": 200},
+    )
+    state = tempfile.mkdtemp(prefix="heads_resume_")
+
+    eng1 = CrawlEngine(
+        spark, cfg, None, state, checkpoint_interval=2, pages=pages,
+        robots_bodies=robots,
+        sitemap_xml=spark.createDataFrame([], "registered_domain string, xml string"),
+    )
+    eng1.start_from_frontier(frontier, rules, next_seq=n_pages)
+    for _ in range(4):
+        eng1.run_round()
+    eng1._commit_snapshot()
+
+    eng2 = CrawlEngine(
+        spark, cfg, None, state, checkpoint_interval=2, pages=pages,
+        robots_bodies=robots,
+        sitemap_xml=spark.createDataFrame([], "registered_domain string, xml string"),
+    )
+    eng2.start(resume=True)
+    assert eng2._sorted_base is not None
+    eng2.run_round()
+    scan = eng2.stats.rounds[-1].sched_scan
+    assert scan is not None and scan["files_pruned"] > 0
