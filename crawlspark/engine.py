@@ -199,6 +199,12 @@ class CrawlEngine:
         # similarity joins degrade to shuffled hash joins (scale guard)
         self._n_bad_total = 0
         self._broadcast_bad_limit = int(config.extra.get("broadcast_bad_limit", 500_000))
+        # forced-broadcast budget for the per-round scheduled batch (fetch
+        # join + near-dup probe): O(#ready-keys) rows at K=1 — multi-GB at
+        # 10^8+ domains, so past the budget those joins shuffle instead
+        self._batch_broadcast_limit = int(
+            config.extra.get("batch_broadcast_limit", 500_000)
+        )
         # driver-side known-domain cache: lets admission answer "any new
         # domains in this batch?" with zero Spark jobs in steady state;
         # disabled (None) past the budget — the relational anti-join path
@@ -771,6 +777,7 @@ class CrawlEngine:
         # sim_tokens and the other frontier columns would triple the
         # broadcast payload
         fetch_in = fetchable.select("url_hash", "url", "depth", "discovery_seq")
+        bb = n_sched <= self._batch_broadcast_limit
         if cfg.extra.get("fetch_mode") == "http":
             from crawlspark.operators import httpfetch as HF
 
@@ -789,14 +796,19 @@ class CrawlEngine:
                     ).distinct().collect()
                 ]
                 pages_src = self.pages.filter(F.col("pbucket").isin(touched))
-            routed0 = self._mat(FE.fetch_and_route(fetch_in, pages_src, cfg), "routed0")
+            routed0 = self._mat(
+                FE.fetch_and_route(fetch_in, pages_src, cfg, broadcast_batch=bb),
+                "routed0",
+            )
         # sh stays UNmaterialized: both consumers (the join and the
         # near-dup probe) sit inside the single `routed` write job, and
         # re-running the Arrow fingerprint twice over the already-
         # materialized routed0 parquet is cheaper than an extra
         # write+read round-trip per crawl round
         sh = FE.batch_simhash(routed0.filter(F.col("route") == "parse"))
-        nd = FE.neardup_hits(sh, self.fingerprints, cfg.simhash_max_hamming)
+        nd = FE.neardup_hits(
+            sh, self.fingerprints, cfg.simhash_max_hamming, broadcast_batch=bb
+        )
         routed = self._mat(
             routed0.join(sh, "url_hash", "left").join(
                 nd.withColumn("_nd", F.lit(True)), "url_hash", "left"

@@ -57,10 +57,19 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"url_hash": pdf["url_hash"], "simhash": out})
 
 
-def fetch_and_route(scheduled: DataFrame, pages: DataFrame, config: CrawlConfig) -> DataFrame:
+def fetch_and_route(
+    scheduled: DataFrame, pages: DataFrame, config: CrawlConfig,
+    broadcast_batch: bool = True,
+) -> DataFrame:
     """Join the scheduled batch to the corpus and compute the routing
     verdict. Returns scheduled ∪ page columns + `route` + parse outputs
-    (n_distinct_words, total_words, simhash joined separately)."""
+    (n_distinct_words, total_words, simhash joined separately).
+
+    ``broadcast_batch`` is the scale guard (VERDICT r2): with K=1 the
+    batch is O(#ready-keys) rows — at 10^8+ domains that is a multi-GB
+    forced broadcast. The engine passes False past its row budget and the
+    join degrades to a shuffled hash join (bucket-pruned pages when
+    bucketing is on, so the corpus side is already the touched fraction)."""
     page_cols = pages.select(
         F.col("page_hash").alias("url_hash"),
         F.col("status").alias("http_status"),
@@ -71,9 +80,10 @@ def fetch_and_route(scheduled: DataFrame, pages: DataFrame, config: CrawlConfig)
     # round (Spark can't broadcast the preserved side of an outer join).
     # fetched = map-side broadcast hash join over pages; misses recovered
     # with a second broadcast anti-join. Zero corpus shuffles per round.
-    fetched = page_cols.join(F.broadcast(scheduled), "url_hash", "inner")
+    hint = F.broadcast if broadcast_batch else (lambda df: df)
+    fetched = page_cols.join(hint(scheduled), "url_hash", "inner")
     missing = scheduled.join(
-        F.broadcast(fetched.select("url_hash")), "url_hash", "left_anti"
+        hint(fetched.select("url_hash")), "url_hash", "left_anti"
     )
     null_page = [
         F.lit(None).cast(t).alias(c)
@@ -141,14 +151,21 @@ def with_simhash(parse_rows: DataFrame) -> DataFrame:
     return parse_rows.join(sh, "url_hash")
 
 
-def neardup_hits(batch_fp: DataFrame, state_fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+def neardup_hits(
+    batch_fp: DataFrame, state_fp: DataFrame, max_hamming: int = 3,
+    broadcast_batch: bool = True,
+) -> DataFrame:
     """url_hash of batch pages whose simhash is within ``max_hamming`` of
     any fingerprint in the round-start state (worker.py:129-137; the batch
-    side is tiny → its banded form broadcasts into the state scan)."""
+    side is usually tiny → its banded form broadcasts into the state
+    scan, size-guarded by the engine like the fetch join — past the
+    budget the band join shuffles both sides on (band_id, band_val))."""
     b = SH.with_bands(batch_fp.select(F.col("url_hash").alias("b_key"), F.col("simhash").alias("b_sim")), "b_sim")
     s = SH.with_bands(state_fp.select(F.col("simhash").alias("s_sim")), "s_sim")
+    if broadcast_batch:
+        b = F.broadcast(b)
     return (
-        s.join(F.broadcast(b), ["band_id", "band_val"])
+        s.join(b, ["band_id", "band_val"])
         .filter(SH.hamming64(F.col("b_sim"), F.col("s_sim")) <= max_hamming)
         .select(F.col("b_key").alias("url_hash"))
         .distinct()
