@@ -115,6 +115,43 @@ def assign_seq(df: DataFrame, order_cols: list[str], start: int, materialize=Non
     ).drop("_pid", "_rn")
 
 
+def assign_dense_rank(
+    df: DataFrame, key_col: str, out_col: str, materialize=None
+) -> DataFrame:
+    """Scalable global ``dense_rank`` over ``key_col`` WITHOUT a
+    single-partition window (assign_seq's sibling for ranks): range-
+    repartition on the key (equal keys co-locate), dense_rank within each
+    partition, then add per-partition distinct-key offsets (one tiny
+    collect). Result depends only on key values — identical at any
+    parallelism level."""
+    d = df.repartitionByRange(F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.withColumn(
+        "_dr", F.dense_rank().over(Window.partitionBy("_pid").orderBy(key_col))
+    )
+    if materialize is not None:
+        # pin (_pid, _dr) before the counts collect — repartitionByRange
+        # re-samples boundaries per evaluation (same caveat as assign_seq)
+        d = materialize(d, "dom_ranked")
+    counts = {
+        r["_pid"]: r["nd"]
+        for r in d.groupBy("_pid").agg(
+            F.countDistinct(key_col).alias("nd")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        off = F.element_at(mapping, F.col("_pid"))
+    else:
+        off = F.lit(0)
+    return d.withColumn(out_col, (off + F.col("_dr")).cast("int")).drop("_pid", "_dr")
+
+
 @dataclass
 class AdmissionResult:
     new_rows: DataFrame        # frontier rows: status 'pending' | 'robots_blocked'
@@ -298,7 +335,10 @@ def admit(
         # too (they were previously re-probed forever and never expanded).
         if no_new_rules:
             break
-        batch = expand_sitemaps(new_rules, sitemap_xml, materialize, seq)
+        batch = expand_sitemaps(
+            new_rules, sitemap_xml, materialize, seq,
+            config=config, row_counter=row_counter,
+        )
 
     return AdmissionResult(new_rows=all_new_rows, new_rules=all_new_rules)
 
@@ -311,7 +351,8 @@ SITEMAP_MAX_LEVELS = 3
 
 
 def expand_sitemaps(new_rules: DataFrame, sitemap_xml: DataFrame,
-                    materialize, seq: int) -> DataFrame:
+                    materialize, seq: int, config: CrawlConfig | None = None,
+                    row_counter=None) -> DataFrame:
     """Candidate batch from the new domains' sitemaps.
 
     By-URL mode (sitemap_xml carries a ``url`` column — the corpus "web"
@@ -369,10 +410,27 @@ def expand_sitemaps(new_rules: DataFrame, sitemap_xml: DataFrame,
             F.lpad(F.col("loc_pos").cast("string"), 8, "0").alias("path"),
             "loc",
         )
-    w_dom = Window.orderBy("registered_domain")
+    # domain rank: a global dense_rank is a single-partition sort — fine
+    # for the steady-state trickle of new domains, a cold-start funnel
+    # over millions of them (VERDICT r2 #3). Above the threshold switch to
+    # the two-phase range-rank (identical values — the rank depends only
+    # on the data-derived key). The per-domain sub_pos window is bounded
+    # by one domain's sitemap size and stays as-is.
+    threshold = int(
+        (config.extra.get("sitemap_two_phase_threshold", 200_000))
+        if config is not None else 200_000
+    )
+    pages = materialize(pages, "sm_pages")
+    n_pages = row_counter(pages) if row_counter is not None else pages.count()
+    if n_pages > threshold:
+        ranked = assign_dense_rank(pages, "registered_domain", "dom_rank", materialize)
+    else:
+        ranked = pages.withColumn(
+            "dom_rank", F.dense_rank().over(Window.orderBy("registered_domain"))
+        )
     w_sub = Window.partitionBy("registered_domain").orderBy("path", "loc")
     return (
-        pages.withColumn("dom_rank", F.dense_rank().over(w_dom))
+        ranked
         .withColumn("sub_pos", F.row_number().over(w_sub))
         .select(
             F.col("loc").alias("raw_url"),

@@ -28,17 +28,36 @@ def seed_ingest_stream(
     checkpoint_dir: str,
 ):
     """readStream(text) → per-micro-batch admission into the engine
-    frontier. Returns the StreamingQuery (caller awaits/stops)."""
+    frontier. Returns the StreamingQuery (caller awaits/stops).
+
+    Fully relational (VERDICT r2 #5): the candidate frame derives from
+    the micro-batch DataFrame directly — no driver collect, so a huge
+    seed drop never funnels through the driver. link_pos is a
+    data-derived order (row_number over the URL string via assign_seq's
+    two-phase rank), deterministic at any parallelism; duplicate lines
+    admit identically regardless of which copy wins the dedup window."""
     lines = spark.readStream.format("text").load(watch_dir)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        urls = [r["value"].strip() for r in batch_df.collect() if r["value"].strip()]
-        if not urls:
+        from crawlspark.operators.admission import assign_seq
+
+        urls = batch_df.select(F.trim(F.col("value")).alias("raw_url")).filter(
+            F.col("raw_url") != ""
+        )
+        if urls.isEmpty():
             return
-        cands = spark.createDataFrame(
-            [(u, 0, "seed", -1, i, 0) for i, u in enumerate(urls)],
-            ["raw_url", "depth", "src", "parent_seq", "link_pos", "sub_pos"],
-        ).withColumn("parent_seq", F.col("parent_seq").cast("long"))
+
+        def mat(df: DataFrame, name: str) -> DataFrame:
+            return engine._mat(df, f"seed_ingest_b{batch_id}_{name}")
+
+        cands = assign_seq(urls, ["raw_url"], 0, mat).select(
+            "raw_url",
+            F.lit(0).alias("depth"),
+            F.lit("seed").alias("src"),
+            F.lit(-1).cast("long").alias("parent_seq"),
+            F.col("discovery_seq").cast("int").alias("link_pos"),
+            F.lit(0).alias("sub_pos"),
+        )
         engine._admit(cands)
         engine._checkpoint_state()
 

@@ -93,6 +93,90 @@ def test_expand_sitemaps_legacy_flat(spark, tmp_path):
     ]
 
 
+def test_expand_sitemaps_two_phase_rank_identical(spark, tmp_path):
+    """Forcing the two-phase range-rank (threshold 0) must produce the
+    byte-identical candidate batch to the global-window path — the rank
+    key is data-derived (VERDICT r2 #3)."""
+    from crawlspark.config import CrawlConfig
+
+    doms = [f"d{i}.example" for i in range(5)]
+    rules_rows, sm_rows = [], []
+    for d in doms:
+        rules_rows += [
+            (d, "probed", "", -1),
+            (d, "sitemap", f"https://{d}/wp-sitemap.xml", 0),
+        ]
+        locs = "".join(
+            f"<url><loc>https://{d}/wiki/p{j}</loc></url>" for j in range(3)
+        )
+        sm_rows.append(
+            (d, f"https://{d}/wp-sitemap.xml",
+             f'<?xml version="1.0"?><urlset>{locs}</urlset>')
+        )
+    rules = spark.createDataFrame(
+        rules_rows,
+        "registered_domain string, rule_type string, value string, rule_pos int",
+    )
+    sm = spark.createDataFrame(
+        sm_rows, "registered_domain string, url string, xml string"
+    )
+
+    def mat_factory(sub):
+        n = [0]
+
+        def mat(df, name):
+            n[0] += 1
+            p = str(tmp_path / sub / f"m{n[0]}_{name}")
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        return mat
+
+    def rows(cand):
+        return sorted(
+            (r["raw_url"], r["parent_seq"], r["sub_pos"]) for r in cand.collect()
+        )
+
+    base = rows(ADM.expand_sitemaps(rules, sm, mat_factory("a"), seq=100))
+    forced = rows(
+        ADM.expand_sitemaps(
+            rules, sm, mat_factory("b"), seq=100,
+            config=CrawlConfig(extra={"sitemap_two_phase_threshold": 0}),
+        )
+    )
+    assert base == forced and len(base) == 15
+
+
+def test_conformance_with_two_phase_sitemap_rank(spark, tmp_path_factory):
+    """Engine == oracle with the two-phase sitemap rank forced on —
+    mirrors how the parallelism-invariance suite forces assign_seq."""
+    from crawlspark import corpus as C
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.oracle import OracleCrawl
+
+    d = tmp_path_factory.mktemp("sm2p_corpus")
+    C.write_corpus(str(d), C.CorpusSpec(n_pages=60, n_domains=10, seed=23))
+    cfg = CrawlConfig(
+        allowed_url_patterns=C.ALLOWED_PATTERNS,
+        extra={"sitemap_two_phase_threshold": 0},
+    )
+    eng = CrawlEngine(
+        spark, cfg, str(d), str(tmp_path_factory.mktemp("sm2p_state")),
+        checkpoint_interval=50,
+    )
+    eng.start(resume=False)
+    eng.run()
+    ora = OracleCrawl(str(d), cfg)
+    ora.run()
+    e = {
+        r["url"]: (r["status"], r["discovery_seq"])
+        for r in eng.all_rows().select("url", "status", "discovery_seq").collect()
+    }
+    o = {r.url: (r.status, r.seq) for r in ora.rows.values()}
+    assert e == o
+
+
 def test_ruleless_domain_probed_once(spark):
     """A robots body with zero directives still yields the 'probed'
     sentinel, so the domain is known and never re-parsed (ADVICE round 1)."""
