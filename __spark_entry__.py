@@ -242,6 +242,29 @@ def q_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# hot-shingle fixture for the capped-Jaccard query: prefixed onto every
+# document, its shingles hit document-frequency N (the boilerplate hot-key
+# that contributes N^2 rows to an uncapped inverted-index join)
+BOILERPLATE = "copyright terms of service all rights reserved"
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """ngram_jaccard with the hot-shingle document-frequency cap engaged
+    on a boilerplate-heavy corpus (VERDICT r2 #7): every doc gets the same
+    prefix, so its shingles reach df = N — one such shingle in 10^6 docs
+    is a 10^12-row hot key in the inverted-index join
+    (operators/dedup.py max_shingle_df docstring). The cap drops those
+    shingles from BOTH the index and the per-doc sizes, i.e. Jaccard is
+    exact over the capped shingle space; the DuckDB twin applies the
+    identical cap."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(BOILERPLATE + " "), F.col("text")).alias("text")
+    )
+    return DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.8, max_shingle_df=100
+    ).orderBy("id_a", "id_b")
+
+
 def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
@@ -707,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
@@ -771,6 +795,37 @@ def _jaccard_sql(threshold: float) -> str:
       with sh0 as (select doc_id, {shingles} as shs from documents),
       ex as (select doc_id, unnest(shs) as sh from sh0),
       sz as (select doc_id, len(shs) as sz from sh0),
+      inter as (
+        select a.doc_id ia, b.doc_id ib, count(*) c
+        from ex a join ex b on a.sh = b.sh and a.doc_id < b.doc_id
+        group by 1, 2
+      )
+      select ia as id_a, ib as id_b,
+             round(c * 1.0 / (sa.sz + sb.sz - c), 6) as jaccard
+      from inter
+      join sz sa on sa.doc_id = ia
+      join sz sb on sb.doc_id = ib
+      where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
+      order by id_a, id_b
+    """
+
+
+def _jaccard_capped_sql(threshold: float, cap: int) -> str:
+    """Twin of q_ngram_jaccard_capped: same boilerplate prefix, shingle
+    document-frequency cap applied to both the inverted index and the
+    per-doc sizes."""
+    text_expr = f"'{BOILERPLATE} ' || text"
+    shingles = (
+        "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "for i in range(1, greatest(len(l)-2, 0)+1)]) "
+        f"from (select {TOK_SQL.format(c=text_expr)} as l) _)"
+    )
+    return f"""
+      with sh0 as (select doc_id, {shingles} as shs from documents),
+      ex0 as (select doc_id, unnest(shs) as sh from sh0),
+      hot as (select sh from ex0 group by sh having count(*) > {cap}),
+      ex as (select * from ex0 where sh not in (select sh from hot)),
+      sz as (select doc_id, count(*) as sz from ex group by doc_id),
       inter as (
         select a.doc_id ia, b.doc_id ib, count(*) c
         from ex a join ex b on a.sh = b.sh and a.doc_id < b.doc_id
@@ -1016,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
           group by 1 having count(*) > 1 order by prefix_hash
         """,
         "ngram_jaccard": _jaccard_sql(0.8),
+        "ngram_jaccard_capped": _jaccard_capped_sql(0.8, 100),
         # minhash-LSH verifies candidates with exact jaccard; with k=32,
         # b=16 the banding recall at tau>=0.8 is 1 - (1-J^2)^16 >= 1-8e-8,
         # so the output equals the exact-jaccard pairs

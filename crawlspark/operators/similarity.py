@@ -138,6 +138,81 @@ def train_ivf_kmeans(
     return cents
 
 
+def train_ivf_kmeans_distributed(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding", iters: int = 5,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) for corpus-scale anchor
+    training (VERDICT r2 #9): each iteration is ONE distributed pass —
+    an Arrow ``mapInPandas`` that assigns every vector to its nearest
+    cell (same GEMM as query-time ivf_assign) and emits per-partition
+    partial (cell, dim, sum) rows (map-side combine in numpy), then a
+    (cell, dim) sum aggregate and an O(n_cells × dim) collect of the new
+    centroids — the centroid matrix is driver-sized by definition.
+    Empty cells keep their previous anchor. Init defaults to the
+    n_cells lowest-id vectors (train_ivf_kmeans's seeded init).
+
+    Float-sum order across partitions makes the result deterministic
+    only up to ~1e-12; use the sampled ``train_ivf_kmeans`` when a
+    byte-reproducible oracle twin is required."""
+    if init is None:
+        rows = corpus.select(vec_col).orderBy(id_col).limit(n_cells).collect()
+        init = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        init /= np.linalg.norm(init, axis=1, keepdims=True)
+    cents = np.ascontiguousarray(init, dtype=np.float64)
+    dim = cents.shape[1]
+    sums_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+    for _ in range(iters):
+        anchors = cents  # capture per iteration
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((n_cells, dim), dtype=np.float64)
+            touched = np.zeros(n_cells, dtype=bool)
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = np.inf
+                mat /= nrm
+                assign = np.argmax(mat @ anchors.T, axis=1)
+                np.add.at(acc, assign, mat)
+                touched[np.unique(assign)] = True
+            cells = np.nonzero(touched)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(cells, dim).astype(np.int32),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(cells)),
+                    "s": acc[cells].reshape(-1),
+                }
+            )
+
+        rows = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, sums_schema)
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        seen = np.zeros(n_cells, dtype=bool)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            seen[r["cell"]] = True
+        for c in np.nonzero(seen)[0]:
+            n = np.linalg.norm(sums[c])
+            if n > 0:
+                new[c] = sums[c] / n
+        cents = new
+    return cents
+
+
 _ASSIGN_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

@@ -113,3 +113,44 @@ def test_dedup_caches_released_between_invocations(spark):
     DD.ngram_jaccard_pairs(docs, "doc_id", "text").count()
     DD.release_caches()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_max_shingle_df_bounds_join_rows(spark):
+    """Boilerplate-heavy corpus (every doc shares a hot prefix): the
+    document-frequency cap must bound the inverted-index join to the true
+    near-dup shingles — the 10^12-hot-key scenario in the max_shingle_df
+    docstring — while keeping Jaccard exact over the capped space."""
+    from pyspark.sql import functions as F
+
+    n = 120
+    boiler = "all rights reserved terms of service apply"
+    rows = [
+        (i, f"{boiler} unique body {i} alpha beta gamma delta {i} epsilon")
+        for i in range(n)
+    ]
+    rows.append((n, rows[0][1]))  # planted exact near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # join-size evidence: hot shingles contribute O(n^2) rows uncapped
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(DD.text_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    pairs = lambda s: (
+        s.alias("a").join(s.alias("b"), "sh")
+        .filter(F.col("a.doc") < F.col("b.doc")).count()
+    )
+    uncapped_rows = pairs(sh)
+    hot = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 50).select("sh")
+    )
+    capped_rows = pairs(sh.join(hot, "sh", "left_anti"))
+    assert uncapped_rows > n * (n - 1) // 2  # boilerplate blowup ~ n^2
+    assert capped_rows < 200  # bounded to true-dup shingle collisions
+
+    out = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.8, max_shingle_df=50
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, n)}
+    assert all(r["jaccard"] == 1.0 for r in out)

@@ -96,3 +96,48 @@ def test_ann_ivf_recall_and_trained_anchors(spark):
         emb, queries, k=5, n_cells=8, nprobe=3, anchors=cents
     ).collect()
     assert trained and all(1 <= r["rank"] <= 5 for r in trained)
+
+
+def test_distributed_kmeans_recall_at_10x(spark):
+    """VERDICT r2 #9: the distributed Lloyd trainer at 10x the other IVF
+    tests' corpus size — trained anchors must lift recall@5 vs brute
+    force above the clustered-data bar (and never trail the untrained
+    deterministic anchors)."""
+    import numpy as np
+
+    from crawlspark.operators.similarity import (
+        ann_ivf_topk, cosine_topk, ivf_anchors, train_ivf_kmeans_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 5000, 32, 16
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    queries = emb.filter("vec_id < 20")
+
+    cents = train_ivf_kmeans_distributed(emb, n_cells=n_clusters, iters=5)
+    assert cents.shape == (n_clusters, dim)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    def topk_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = topk_set(cosine_topk(emb, queries, k=5))
+    trained = topk_set(
+        ann_ivf_topk(emb, queries, k=5, n_cells=n_clusters, nprobe=2, anchors=cents)
+    )
+    untrained = topk_set(
+        ann_ivf_topk(
+            emb, queries, k=5, n_cells=n_clusters, nprobe=2,
+            anchors=ivf_anchors(dim, n_clusters),
+        )
+    )
+    recall_trained = len(exact & trained) / len(exact)
+    recall_untrained = len(exact & untrained) / len(exact)
+    assert recall_trained >= 0.8, (recall_trained, recall_untrained)
+    assert recall_trained >= recall_untrained, (recall_trained, recall_untrained)
