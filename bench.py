@@ -42,6 +42,7 @@ HEADLINE_QUERIES = [
     "top50_words",
     "doc_fingerprint",
     "ngram_jaccard",
+    "ngram_jaccard_capped",
     "minhash_lsh",
     "simhash_pairs",
     "embedding_topk",
@@ -84,12 +85,18 @@ def run_crawl_bench(spark, n_pages: int, n_domains: int, rounds: int) -> dict:
     dt = time.monotonic() - t0
     scheduled = eng.stats.total_scheduled
     pages.unpersist()
+    round_secs = [round(r.seconds, 2) for r in eng.stats.rounds]
+    steady = sorted(round_secs[1:]) or round_secs  # round 1 = warmup
     return {
         "seconds": round(dt, 2),
         "rounds": done,
         "scheduled": scheduled,
         "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else 0.0,
-        "round_secs": [round(r.seconds, 2) for r in eng.stats.rounds],
+        "round_secs": round_secs,
+        "steady_round_sec_median": steady[len(steady) // 2],
+        # heads-scheduler telemetry: frontier rows the schedule actually
+        # read vs the full frontier (stats-pruned scan; None = full scan)
+        "sched_scan_last": eng.stats.rounds[-1].sched_scan if eng.stats.rounds else None,
         "n_pages": n_pages,
         "n_domains": n_domains,
     }
@@ -110,20 +117,36 @@ def main() -> None:
     crawl = run_crawl_bench(spark, n_pages, n_domains, rounds)
     timings["crawl_rounds"] = crawl["seconds"]
 
+    # >=2 runs per query (VERDICT r2 #10): run 1 pays JIT/python-worker
+    # warmup, later runs are the steady state — `queries` reports the
+    # best (steady) time, `query_runs` keeps every sample so round-over-
+    # round medians are comparable against the documented ±10% host noise
+    repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     qs = E.queries()
+    query_runs: dict[str, list[float]] = {}
     for name in HEADLINE_QUERIES:
-        t0 = time.monotonic()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 2)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            runs.append(round(time.monotonic() - t0, 2))
+        query_runs[name] = runs
+        timings[name] = min(runs)
 
-    total = round(time.monotonic() - t_all, 2)
+    wall = round(time.monotonic() - t_all, 2)
+    # `value` = crawl + one steady pass over the queries, so it stays
+    # comparable round-over-round regardless of BENCH_QUERY_REPEATS;
+    # the full wall clock (all repeats) is reported alongside.
+    total = round(crawl["seconds"] + sum(v for k, v in timings.items() if k != "crawl_rounds"), 2)
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (crawl rounds + operator queries)",
+                "metric": "headline suite time (crawl rounds + steady pass over operator queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": query_runs,
+                "wall_clock_sec_all_runs": wall,
                 "sf": sf,
                 "crawl": crawl,
             }

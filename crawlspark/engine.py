@@ -431,15 +431,31 @@ class CrawlEngine:
 
     # -- stats-pruned frontier-heads scheduling -------------------------
     def _file_stats(self, path: str) -> list[dict] | None:
-        """Footer stats for an immutable base part, cached. On a cluster
-        with a real Iceberg catalog these come from the snapshot manifest
-        (icelite records the identical entries); locally the parquet
-        footers are the same metadata without a Spark job."""
+        """File stats for an immutable base part, cached. When the base
+        IS the latest snapshot's pending table, the entries come straight
+        from the icelite MANIFEST (Iceberg's scan planning — no file
+        access at all); scratch compactions between snapshots fall back
+        to reading the local parquet footers (same metadata, no Spark
+        job)."""
         if path not in self._fstats_cache:
+            entries = None
             try:
-                self._fstats_cache[path] = scan_parquet_stats(path)
+                snap = self.catalog.latest()
+                if snap is not None and self.catalog.paths(snap, "pending") == [path]:
+                    fs = (snap.tables.get("pending") or {}).get("files")
+                    if fs:
+                        entries = [
+                            {**f, "file": os.path.join(self.catalog.root, f["file"])}
+                            for f in fs
+                        ]
             except Exception:
-                self._fstats_cache[path] = None
+                entries = None
+            if entries is None:
+                try:
+                    entries = scan_parquet_stats(path)
+                except Exception:
+                    entries = None
+            self._fstats_cache[path] = entries
         return self._fstats_cache[path]
 
     def _pending_for_schedule(self) -> tuple[DataFrame, dict | None]:

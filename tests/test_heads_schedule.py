@@ -135,6 +135,26 @@ def test_heads_schedule_survives_resume(spark):
     )
     eng2.start(resume=True)
     assert eng2._sorted_base is not None
+
+    # snapshot-backed base: file stats must come from the icelite
+    # MANIFEST (Iceberg scan planning), not parquet footers — prove it by
+    # making the footer path explode
+    import crawlspark.engine as ENG
+
+    orig = ENG.scan_parquet_stats
+
+    def boom(path):
+        raise RuntimeError("footer scan must not run for snapshot-backed base")
+
+    ENG.scan_parquet_stats = boom
+    try:
+        entries = eng2._file_stats(eng2._sorted_base)
+    finally:
+        ENG.scan_parquet_stats = orig
+    assert entries and all(
+        "bounds" in e and e["rows"] is not None for e in entries
+    )
+
     eng2.run_round()
     scan = eng2.stats.rounds[-1].sched_scan
     assert scan is not None and scan["files_pruned"] > 0
