@@ -271,6 +271,17 @@ def q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-level dedup verdict: MinHash-LSH pairs → connected
+    components (min-label propagation, parquet-scratch iterations) →
+    canonical = smallest doc_id per cluster; singletons are their own
+    cluster. Oracle: transitive closure via DuckDB recursive CTE over
+    the exact-Jaccard pair graph."""
+    return DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
+    ).orderBy("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Near-dup pairs at Hamming <= 8 over the 60-bit expression simhash.
     Candidates via LSH banding (10 bands x 6 bits): a pair differing in
@@ -732,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -807,6 +819,54 @@ def _jaccard_sql(threshold: float) -> str:
       join sz sb on sb.doc_id = ib
       where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
       order by id_a, id_b
+    """
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Twin of q_dedup_clusters: the exact-Jaccard pair graph (same body
+    as _jaccard_sql) + transitive closure by recursive CTE — reach(v, r)
+    enumerates every vertex reachable from v, min(r) is the component
+    label, docs in no pair are singleton components."""
+    shingles = (
+        "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "for i in range(1, greatest(len(l)-2, 0)+1)]) "
+        f"from (select {TOK_SQL.format(c='text')} as l) _)"
+    )
+    return f"""
+      with recursive
+      sh0 as (select doc_id, {shingles} as shs from documents),
+      ex as (select doc_id, unnest(shs) as sh from sh0),
+      sz as (select doc_id, len(shs) as sz from sh0),
+      inter as (
+        select a.doc_id ia, b.doc_id ib, count(*) c
+        from ex a join ex b on a.sh = b.sh and a.doc_id < b.doc_id
+        group by 1, 2
+      ),
+      pairs as (
+        select ia as id_a, ib as id_b
+        from inter
+        join sz sa on sa.doc_id = ia
+        join sz sb on sb.doc_id = ib
+        where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
+      ),
+      edges as (
+        select id_a as src, id_b as dst from pairs
+        union all
+        select id_b, id_a from pairs
+      ),
+      verts as (select distinct src as v from edges),
+      reach(v, r) as (
+        select v, v from verts
+        union
+        select rc.v, e.dst from reach rc join edges e on e.src = rc.r
+      ),
+      comp as (select v, min(r) as component from reach group by v)
+      select d.doc_id,
+             coalesce(c.component, d.doc_id) as component,
+             cast(coalesce(c.component, d.doc_id) = d.doc_id as int) as is_canonical
+      from documents d
+      left join comp c on c.v = d.doc_id
+      order by doc_id
     """
 
 
@@ -1076,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         # b=16 the banding recall at tau>=0.8 is 1 - (1-J^2)^16 >= 1-8e-8,
         # so the output equals the exact-jaccard pairs
         "minhash_lsh": _jaccard_sql(0.8),
+        "dedup_clusters": _dedup_clusters_sql(0.8),
         "simhash_pairs": _simhash60_sql(),
         "embedding_topk": f"""
           select query_id, neighbor_id, rank, cosine from (

@@ -44,6 +44,7 @@ HEADLINE_QUERIES = [
     "ngram_jaccard",
     "ngram_jaccard_capped",
     "minhash_lsh",
+    "dedup_clusters",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

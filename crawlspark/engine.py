@@ -46,7 +46,11 @@ from crawlspark.operators import admission as ADM
 from crawlspark.operators import badurls as BAD
 from crawlspark.operators import fetch as FE
 from crawlspark.operators.membership import BloomSeenFilter
-from crawlspark.operators.schedule import schedule_round, select_head_files
+from crawlspark.operators.schedule import (
+    schedule_round,
+    select_head_files,
+    tail_key_rows,
+)
 
 FRONTIER_FIELDS = [
     ("url", T.StringType()),
@@ -66,6 +70,24 @@ COMPLETED_EXTRA = [
     ("total_words", T.IntegerType()),
     ("n_distinct_words", T.IntegerType()),
 ]
+# closed set of terminal statuses: the pop-order gates in run_round plus
+# every route route_verdict emits (operators/fetch.py:113-135); used by
+# the Observation-based per-status counts, cross-checked against _total
+STATUS_VALUES = (
+    "depth_skip",
+    "lowdata_similar_skip",
+    "error_similar_skip",
+    "trap_skip",
+    "neardup",
+    "parsed",
+    "fetch_error",
+    "redirect",
+    "error",
+    "empty",
+    "skipped_large",
+    "skipped_type",
+    "low_data",
+)
 
 
 def _schema(fields) -> T.StructType:
@@ -331,12 +353,10 @@ class CrawlEngine:
         out._crawlspark_path = path
         return out
 
-    def _append_state_delta(self, delta: DataFrame, name: str, single: bool = True) -> DataFrame:
-        """Append-only state table (completed / bad / fingerprints): write
-        ONLY the round's delta — O(delta) per round instead of an O(total)
-        rewrite. The icelite manifest references delta files without
-        rewriting them (Iceberg append-commit semantics). Returns the
-        materialized delta alone; read the full table via _state_table."""
+    def _alloc_delta_path(self, name: str) -> str:
+        """Reserve the next delta file path for a state table (driver
+        thread only — versions are handed out serially even when the
+        writes themselves run concurrently)."""
         dirp = os.path.join(self.scratch_dir, "state", name)
         if name not in self._delta_ver:
             # resume safety: never overwrite a delta dir a previous run's
@@ -344,12 +364,48 @@ class CrawlEngine:
             self._delta_ver[name] = len(os.listdir(dirp)) if os.path.isdir(dirp) else 0
         ver = self._delta_ver[name]
         self._delta_ver[name] = ver + 1
-        path = os.path.join(dirp, f"d{ver:06d}")
+        return os.path.join(dirp, f"d{ver:06d}")
+
+    def _append_state_delta(self, delta: DataFrame, name: str, single: bool = True) -> DataFrame:
+        """Append-only state table (completed / bad / fingerprints): write
+        ONLY the round's delta — O(delta) per round instead of an O(total)
+        rewrite. The icelite manifest references delta files without
+        rewriting them (Iceberg append-commit semantics). Returns the
+        materialized delta alone; read the full table via _state_table."""
+        path = self._alloc_delta_path(name)
         (delta.repartition(1) if single else delta).write.mode("overwrite").parquet(path)
         self._state_parts.setdefault(name, []).append(path)
         out = self.spark.read.parquet(path)
         out._crawlspark_path = path
         return out
+
+    def _append_state_deltas(self, items: list[tuple[DataFrame, str, bool]]) -> None:
+        """Write several INDEPENDENT state deltas concurrently — each is
+        one small Spark job whose cost is mostly fixed driver/scheduler
+        latency, so overlapping them turns a sum of round-trips into a
+        max. Spark job submission is thread-safe; paths/versions are
+        allocated serially here first, and parts are registered only
+        after every write succeeds (same write-then-register semantics
+        as the sequential helper)."""
+        if not items:
+            return
+        alloc = [
+            (delta.repartition(1) if single else delta, name, self._alloc_delta_path(name))
+            for delta, name, single in items
+        ]
+        if len(alloc) == 1:
+            alloc[0][0].write.mode("overwrite").parquet(alloc[0][2])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(alloc)) as ex:
+                list(
+                    ex.map(
+                        lambda t: t[0].write.mode("overwrite").parquet(t[2]), alloc
+                    )
+                )
+        for _, name, path in alloc:
+            self._state_parts.setdefault(name, []).append(path)
 
     def _state_table(self, name: str, schema: T.StructType) -> DataFrame:
         parts = self._state_parts.get(name)
@@ -428,6 +484,34 @@ class CrawlEngine:
         self._state_parts["pending"] = [self._state_parts["pending"][-1]]
         self._state_parts["popped"] = []
         self._sorted_base = self._state_parts["pending"][0]
+        if self._heads_sched:
+            # prime the stats cache with tail-key-annotated footer entries
+            # so this compaction's files prune exactly from the next round
+            try:
+                entries = scan_parquet_stats(self._sorted_base) or None
+            except Exception:
+                entries = None
+            if entries:
+                self._annotate_tail_stats(self._sorted_base, entries)
+            self._fstats_cache[self._sorted_base] = entries
+
+    def _annotate_tail_stats(self, path: str, entries: list[dict]) -> None:
+        """Attach per-file tail-key row counts (schedule.tail_key_rows) to
+        freshly-compacted pending file stats — one aggregate job per
+        COMPACTION, amortized over every subsequent round's head-file
+        pruning (it removes select_head_files' only conservatism). Entries
+        are matched by data-file basename, so relative manifest paths and
+        absolute scratch paths both work."""
+        if not self._heads_sched or not entries:
+            return
+        try:
+            tails = tail_key_rows(self.spark, path, self._key_col)
+        except Exception:
+            return
+        for e in entries:
+            n = tails.get(os.path.basename(e["file"]))
+            if n is not None:
+                e["tail_rows"] = n
 
     # -- stats-pruned frontier-heads scheduling -------------------------
     def _file_stats(self, path: str) -> list[dict] | None:
@@ -647,17 +731,30 @@ class CrawlEngine:
         self.next_seq += n
         new_pending = rows.filter(F.col("status") == "pending")
         blocked = rows.filter(F.col("status") == "robots_blocked")
-        self._append_state_delta(new_pending, "pending")
-        self._append_state_delta(
-            blocked.withColumns(
-                {
-                    "completed_round": F.lit(None).cast("int"),
-                    "total_words": F.lit(None).cast("int"),
-                    "n_distinct_words": F.lit(None).cast("int"),
-                }
-            ),
-            "completed",
-        )
+        # rows is materialized — when its status column is locally
+        # readable, skip writing empty splits (robots_blocked is ~0 in
+        # steady state: one empty-delta job saved per round); the splits
+        # that do exist are independent tables and write concurrently
+        statuses = self._local_values(rows, "status")
+        n_blocked = statuses.count("robots_blocked") if statuses is not None else None
+        deltas: list = []
+        if n_blocked is None or n_blocked < n:
+            deltas.append((new_pending, "pending", True))
+        if n_blocked is None or n_blocked > 0:
+            deltas.append(
+                (
+                    blocked.withColumns(
+                        {
+                            "completed_round": F.lit(None).cast("int"),
+                            "total_words": F.lit(None).cast("int"),
+                            "n_distinct_words": F.lit(None).cast("int"),
+                        }
+                    ),
+                    "completed",
+                    True,
+                )
+            )
+        self._append_state_deltas(deltas)
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
@@ -719,6 +816,9 @@ class CrawlEngine:
                     for r in self.stats.rounds[-self.checkpoint_interval :]
                 ],
             },
+            file_annotators=(
+                {"pending": self._annotate_tail_stats} if self._heads_sched else None
+            ),
         )
         # the committed pending is a clean full table → adopt it as the
         # compacted base and drop the tombstones it folded in
@@ -858,14 +958,37 @@ class CrawlEngine:
             .withColumn("completed_round", F.lit(self.round_no))
             .select(*[n for n, _ in FRONTIER_FIELDS + COMPLETED_EXTRA])
         )
+        # per-status counts ride the delta write itself (Observation —
+        # aggregates collected during the write job), replacing a second
+        # full read+groupBy job per round. STATUS_VALUES is the closed set
+        # route_verdict ∪ the gate statuses produce; the _total cross-check
+        # falls back to the exact groupBy if a value ever escapes it.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        statused = statused.observe(
+            obs,
+            F.count(F.lit(1)).alias("_total"),
+            *[
+                F.sum((F.col("status") == sv).cast("long")).alias(sv)
+                for sv in STATUS_VALUES
+            ],
+        )
         statused = self._append_state_delta(statused, "completed", single=False)
-        by_status = {
-            r["status"]: r["cnt"]
-            for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
-        }
+        m = obs.get
+        by_status = {sv: int(m[sv]) for sv in STATUS_VALUES if m[sv]}
+        if sum(by_status.values()) != int(m["_total"]):  # unknown status value
+            by_status = {
+                r["status"]: r["cnt"]
+                for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+            }
         _mark("statused")
 
         # state deltas ------------------------------------------------
+        # bad / fingerprints / popped read only already-materialized
+        # parquet (statused, routed, sched) and land in different tables,
+        # so their writes run concurrently (one driver round-trip, not 3)
+        round_deltas: list = []
         n_bad = sum(
             v for k, v in by_status.items()
             if k in ("lowdata_similar_skip", "error_similar_skip", "low_data")
@@ -887,13 +1010,18 @@ class CrawlEngine:
                     .select("url", "host", F.lit("error").alias("kind"), "sim_tokens")
                 )
             )
-            self._append_state_delta(new_bad, "bad")
+            round_deltas.append((new_bad, "bad", True))
             self._n_bad_total += n_bad
         n_fp = by_status.get("parsed", 0) + by_status.get("neardup", 0)
         if n_fp:
-            self._append_state_delta(
-                routed.filter(F.col("route") == "parse").select("url_hash", "simhash"),
-                "fingerprints",
+            round_deltas.append(
+                (
+                    routed.filter(F.col("route") == "parse").select(
+                        "url_hash", "simhash"
+                    ),
+                    "fingerprints",
+                    True,
+                )
             )
 
         # discovery ----------------------------------------------------
@@ -928,7 +1056,8 @@ class CrawlEngine:
         # frontier update: scheduled keys become tombstones (O(batch)
         # append — never an O(frontier) rewrite), discoveries enter via
         # _admit's pending delta
-        self._append_state_delta(sched.select("url_hash"), "popped")
+        round_deltas.append((sched.select("url_hash"), "popped", True))
+        self._append_state_deltas(round_deltas)
         _mark("pending_update")
         n_new = (
             self._admit(candidates)

@@ -161,11 +161,19 @@ class IceliteCatalog:
         dfs: dict[str, "DataFrame | list[str] | None"],
         meta: dict[str, Any],
         partition_by: dict[str, list[str]] | None = None,
+        file_annotators: dict[str, Any] | None = None,
     ) -> Snapshot:
         """A table value may be a DataFrame (written into the snapshot dir)
         or a list of existing parquet dirs (append-only tables committed BY
         REFERENCE — Iceberg's append commit: the manifest lists the data
-        files, nothing is rewritten)."""
+        files, nothing is rewritten).
+
+        ``file_annotators``: optional per-table callables
+        ``(data_dir_path, file_entries) -> None`` run after the table's
+        data files are written and scanned, before the manifest is
+        written — they may add extra per-file stats fields (e.g. the
+        heads scheduler's ``tail_rows``). Entries' ``file`` values are
+        catalog-relative at this point."""
         parent = self.latest()
         sid = (parent.snapshot_id + 1) if parent else 0
         tables: dict[str, dict[str, Any]] = {}
@@ -228,6 +236,9 @@ class IceliteCatalog:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
                 files = _scan(path)
+                ann = (file_annotators or {}).get(name)
+                if ann is not None and files:
+                    ann(path, files)
                 rows, unknown = _rows_total(files)
             tables[name] = {
                 "path": rel, "rows": rows, "files": files,

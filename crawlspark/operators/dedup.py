@@ -478,3 +478,100 @@ def simhash60_udf(texts: _pd.Series) -> _pd.Series:
                 fp |= 1 << b
         out[i] = fp
     return _pd.Series(out)
+
+
+# -- dedup clusters: connected components over the near-dup pair graph --
+# The stage industry dedup pipelines run AFTER pair generation: group
+# transitive near-dups into clusters and keep one canonical document per
+# cluster. (The reference has no analog — this is the LLM-training-data
+# surface SURVEY.md §6 scopes on top of the crawl tables.)
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph by min-label
+    propagation: every vertex's label converges to the smallest vertex id
+    reachable from it. Returns (v, comp).
+
+    Scale shape: each iteration is one edge-join + hash aggregate —
+    shuffles O(E) rows, no driver-side graph state — and converges in
+    ``diameter`` iterations (near-dup clusters from LSH pairs are
+    near-cliques, so 2-4 in practice). Iteration state is materialized
+    to parquet scratch each step so the plan/lineage stays flat no
+    matter how many iterations run (iterative localCheckpoint/persist
+    chains degrade the driver); the final labels frame reads from
+    scratch, which lives in the OS temp dir.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    spark = pairs.sparkSession
+    scratch = _tempfile.mkdtemp(prefix="crawlspark_ccomp_")
+
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ep = _os.path.join(scratch, "edges")
+    edges.write.mode("overwrite").parquet(ep)
+    edges = spark.read.parquet(ep)
+
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+    )
+    for i in range(max_iter):
+        # push every vertex's current label to its neighbors; keep the min
+        prop = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("comp").alias("comp")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("v").agg(F.min("comp").alias("comp"))
+        )
+        lp = _os.path.join(scratch, f"labels_{i}")
+        new_labels.write.mode("overwrite").parquet(lp)
+        new_labels = spark.read.parquet(lp)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-level near-dup verdict per document: MinHash-LSH pairs →
+    connected components → one canonical doc (smallest id) per cluster.
+    Docs in no pair are their own singleton cluster. Returns
+    (doc_id, component, is_canonical:int) — filter is_canonical=1 to get
+    the deduplicated corpus."""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, n, threshold)
+    comp = connected_components(pairs).withColumnRenamed("v", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("component")).cast("int")
+        )
+    )

@@ -72,6 +72,34 @@ def schedule_round(
     )
 
 
+def tail_key_rows(spark, path: str, key_col: str = "registered_domain") -> dict[str, int]:
+    """Per-file row count of each data file's MAXIMUM politeness-key
+    value, for the sorted compacted pending layout. One distributed
+    aggregate (map-side partial → O(#files·keys-per-file) shuffle rows,
+    O(#files) collected) run once per COMPACTION — it removes the heads
+    scheduler's only conservatism: after a mixed file, the walker knows
+    exactly how many of the tail key's head rows it already kept, so
+    pure-continuation files prune immediately instead of one file late.
+    Keys are data-file basenames (task-UUID parquet names, unique)."""
+    from pyspark.sql import Window as _W
+
+    per = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_f"), F.col(key_col).alias("_k"))
+        .groupBy("_f", "_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tails = (
+        per.withColumn("_mk", F.max("_k").over(_W.partitionBy("_f")))
+        .filter(F.col("_k") == F.col("_mk"))
+        .select("_f", "_n")
+        .collect()
+    )
+    import os as _os
+
+    return {_os.path.basename(r["_f"]): int(r["_n"]) for r in tails}
+
+
 def select_head_files(
     entries: list[dict], key_col: str = "registered_domain", budget: int = 1,
 ) -> tuple[list[dict], list[dict]] | None:
@@ -102,7 +130,15 @@ def select_head_files(
         if kb is None or sb is None or e.get("rows") is None:
             return None  # never prune blind
         prepared.append((kb[0], sb[0], kb[1], e))
-    prepared.sort(key=lambda t: (t[0], t[1], t[2]))
+    # Walk in the layout's RANGE order. The files are contiguous disjoint
+    # ranges in (key, seq) TUPLE space, so (k_hi, k_lo, s_lo) is a total
+    # order consistent with it: all pure-k files precede the mixed file
+    # that starts at k (its range begins above their tuples), and the
+    # mixed file ending at k' precedes k'-pure files. Sorting by k_lo/s_lo
+    # first would be wrong: discovery_seq interleaves across keys, so a
+    # mixed file's column-wise s_lo is polluted by its TAIL key's low
+    # seqs and can sort the file before the pure files of its head key.
+    prepared.sort(key=lambda t: (t[2], t[0], t[1]))
 
     kept: list[dict] = []
     pruned: list[dict] = []
@@ -120,7 +156,10 @@ def select_head_files(
             run_rows = run_rows + e["rows"] if run_key == k_lo else e["rows"]
             run_key = k_lo
         else:
-            # mixed file: ends in k_hi with an unknown number of its rows
-            run_key, run_rows = k_hi, 0
+            # mixed file ending in k_hi: when the compaction recorded the
+            # file's tail-key row count (tail_rows), the walker starts the
+            # run with the exact head rows already kept; without it, 0 —
+            # the conservative "+1 continuation file" behavior
+            run_key, run_rows = k_hi, int(e.get("tail_rows") or 0)
         prev_hi = k_hi
     return kept, pruned

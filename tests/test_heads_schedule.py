@@ -55,6 +55,41 @@ def test_select_head_files_unit():
     assert select_head_files(bad, budget=1) is None
 
 
+def test_select_head_files_tail_stats_and_interleaved_seqs():
+    # discovery_seq interleaves across keys, so a mixed file's column-wise
+    # s_lo carries its TAIL key's low seqs — the walk must follow the
+    # tuple-range order (k_hi, k_lo, s_lo), or the mixed file mis-sorts
+    # ahead of its head key's pure files and the tail run is lost
+    entries = [
+        _entry("p00", 100, "a", "a", 2, 900),
+        _entry("p01", 100, "a", "a", 905, 2000),
+        _entry("p02", 100, "a", "b", 3, 2500),    # b's head inside; b seqs from 3
+        _entry("p03", 100, "b", "b", 40, 3000),
+        _entry("p04", 100, "b", "c", 1, 3500),    # c's head inside; c seqs from 1
+        _entry("p05", 100, "c", "c", 50, 4000),
+    ]
+    # with tail-key row counts (compaction stats): every pure continuation
+    # after a mixed file prunes — the scan is exactly the head files
+    for e, t in zip(entries, (100, 100, 30, 100, 25, 100)):
+        e["tail_rows"] = t
+    kept, pruned = select_head_files(entries, budget=1)
+    assert [e["file"] for e in kept] == ["p00", "p02", "p04"]
+    assert [e["file"] for e in pruned] == ["p01", "p03", "p05"]
+
+    # budget larger than the mixed file's confirmed tail rows → the next
+    # continuation stays readable
+    kept, _ = select_head_files(entries, budget=31)
+    assert [e["file"] for e in kept] == ["p00", "p02", "p03", "p04", "p05"]
+
+    # without tail stats: conservative (+1 continuation file per mixed
+    # file) but still correct under the range order
+    for e in entries:
+        del e["tail_rows"]
+    kept, pruned = select_head_files(entries, budget=1)
+    assert [e["file"] for e in kept] == ["p00", "p02", "p03", "p04", "p05"]
+    assert [e["file"] for e in pruned] == ["p01"]
+
+
 def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6):
     n_pages, n_domains = 4000, 6
     pages = BC.build_pages(spark, n_pages, n_domains)
@@ -154,6 +189,9 @@ def test_heads_schedule_survives_resume(spark):
     assert entries and all(
         "bounds" in e and e["rows"] is not None for e in entries
     )
+    # the snapshot commit's file annotator recorded tail-key row counts,
+    # so exact (non-conservative) pruning survives resume too
+    assert all("tail_rows" in e for e in entries)
 
     eng2.run_round()
     scan = eng2.stats.rounds[-1].sched_scan

@@ -145,3 +145,42 @@ def test_minhash_equals_exact_jaccard(spark):
     }
     assert (1, 2) in exact
     assert lsh == exact
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    # pair graph: {1-2, 2-5} one chain component, {7-8} another, 9 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 8)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["v"]: r["comp"] for r in DD.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 5: 1, 7: 7, 8: 7}
+
+    # cluster verdict over documents: transitive near-dups share one
+    # canonical (smallest id); docs with no pair are singletons
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta psi iota"),   # near-dup of 1 and 2
+        (4, "totally different words entirely here now yes ok"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in DD.dedup_clusters(df, "doc_id", "text", 3, 0.3).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
+    assert out[3] == (1, 0)
+    assert out[4] == (4, 1)
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-vertex path graph needs multiple propagation iterations
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    rows = DD.connected_components(pairs).collect()
+    assert {r["comp"] for r in rows} == {1}
+    assert len(rows) == 12
