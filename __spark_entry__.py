@@ -271,6 +271,31 @@ def q_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+SAMPLE_DEFAULT = 0.125  # binary-exact rates: double*1e6 is integral on
+PACK_BUDGET = 512       # both engines, so trunc-vs-round can't diverge
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (shared md5-60 hash;
+    no rand() — identical survivors under resume/retry/repartition)."""
+    from crawlspark.operators import sampling as SP
+
+    return SP.sample_stratified(
+        _t(spark, sf_dir, "documents"), "lang", SAMPLE_RATES, SAMPLE_DEFAULT
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Concat-then-chunk batching: docs in id order per language, bin
+    boundary every PACK_BUDGET tokens of running start."""
+    from crawlspark.operators import sampling as SP
+
+    return SP.pack_token_budget(
+        _t(spark, sf_dir, "documents"), PACK_BUDGET, "lang"
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Cluster-level dedup verdict: MinHash-LSH pairs → connected
     components (min-label propagation, parquet-scratch iterations) →
@@ -744,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "pack_token_budget": q_pack_token_budget,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -819,6 +846,32 @@ def _jaccard_sql(threshold: float) -> str:
       join sz sb on sb.doc_id = ib
       where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
       order by id_a, id_b
+    """
+
+
+def _sample_stratified_sql() -> str:
+    cases = " ".join(
+        f"when '{k}' then {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+      select doc_id, lang from documents
+      where ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+            < cast((case lang {cases} else {SAMPLE_DEFAULT} end) * 1000000 as bigint)
+      order by doc_id
+    """
+
+
+def _pack_token_budget_sql() -> str:
+    ntok = f"len({TOK_SQL.format(c='text')})::BIGINT"
+    return f"""
+      with t as (select doc_id, lang, {ntok} as n_tokens from documents)
+      select doc_id, lang, n_tokens,
+             cast(floor(
+               (sum(n_tokens) over (partition by lang order by doc_id
+                  rows between unbounded preceding and current row)
+                - n_tokens) / {PACK_BUDGET}.0) as bigint) as bin
+      from t
+      order by doc_id
     """
 
 
@@ -1137,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
         # so the output equals the exact-jaccard pairs
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
+        "sample_stratified": _sample_stratified_sql(),
+        "pack_token_budget": _pack_token_budget_sql(),
         "simhash_pairs": _simhash60_sql(),
         "embedding_topk": f"""
           select query_id, neighbor_id, rank, cosine from (

@@ -184,3 +184,36 @@ def test_connected_components_long_chain_converges(spark):
     rows = DD.connected_components(pairs).collect()
     assert {r["comp"] for r in rows} == {1}
     assert len(rows) == 12
+
+
+def test_sample_stratified_deterministic_and_rates(spark):
+    from crawlspark.operators import sampling as SP
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+    )
+    rates = {"en": 1.0, "zz": 0.25}
+    a = sorted(r["doc_id"] for r in SP.sample_stratified(df, "lang", rates).collect())
+    # partitioning must not change the sample (hash-based, not rand())
+    b = sorted(
+        r["doc_id"]
+        for r in SP.sample_stratified(df.repartition(7), "lang", rates).collect()
+    )
+    assert a == b
+    en = [i for i in a if i % 2 == 0]
+    zz = [i for i in a if i % 2 == 1]
+    assert len(en) == 1000                  # rate 1.0 keeps everything
+    assert 150 <= len(zz) <= 350            # rate 0.25 of 1000, hash-uniform
+
+
+def test_pack_token_budget_bins(spark):
+    from crawlspark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        [(i, "en", "w " * 40) for i in range(10)], ["doc_id", "lang", "text"]
+    )
+    rows = {r["doc_id"]: r for r in SP.pack_token_budget(df, 100, "lang").collect()}
+    assert all(r["n_tokens"] == 40 for r in rows.values())
+    # running starts 0,40,80,120,... → bins 0,0,0,1,1,2,2,2,3,3
+    assert [rows[i]["bin"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
