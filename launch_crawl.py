@@ -41,15 +41,30 @@ def main() -> None:
         "defaults to the synthetic-corpus .example patterns",
     )
     ap.add_argument("--checkpoint-interval", type=int, default=5)
+    ap.add_argument(
+        "--extra", action="append", default=None, metavar="KEY=VALUE",
+        help="engine extras (repeatable), e.g. politeness_key=netloc, "
+        "bucket_pages=true, fetch_mode=http, heads_scheduling=false, "
+        "pending_file_rows=1000000; values parse as JSON when possible",
+    )
     ap.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--report", action="store_true", help="print the crawl report JSON at the end")
     args = ap.parse_args()
+
+    extra = {}
+    for kv in args.extra or []:
+        k, _, v = kv.partition("=")
+        try:
+            extra[k] = json.loads(v)
+        except json.JSONDecodeError:
+            extra[k] = v
 
     spark = get_spark("crawlspark", master=args.master)
     cfg = CrawlConfig(
         allowed_url_patterns=tuple(args.allow_pattern) if args.allow_pattern else ALLOWED_PATTERNS,
         per_domain_quota=args.quota,
         politeness_delay_s=args.delay,
+        extra=extra,
     )
     eng = CrawlEngine(
         spark, cfg, args.corpus, args.state,
