@@ -419,7 +419,8 @@ def q_payload_phash(spark, sf_dir):
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim"]
+        # "jpeg" = the REAL baseline JFIF codec (functions/jpeg.py)
+        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim", "jpeg"]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -458,7 +459,8 @@ def _synth_pages(spark, sf_dir, n=100, w=16, h=16):
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim"]
+        # "jpeg" = the REAL baseline JFIF codec (functions/jpeg.py)
+        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim", "jpeg"]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:

@@ -9,9 +9,11 @@ exact for lossless; captions byte-equal).
 No Pillow/image libs in the sandbox, so codecs are implemented directly
 (PPM-P6 / 24-bit BMP / zlib PNG / raw / a quantization-based "jpeg_sim"
 lossy stand-in whose step-4 quantization yields PSNR ≈ 46 dB — exercising
-the lossy path deterministically). All Spark-side use is via Arrow
-pandas UDFs over ``mapInPandas`` — batch shape real, per-row Python never
-touches the JVM boundary.
+the lossy path deterministically / REAL baseline JFIF "jpeg" via the pure
+numpy DCT+Huffman codec in functions/jpeg.py, default quality 98 → PSNR
+≥ 43 dB on corpus fields). All Spark-side use is via Arrow pandas UDFs
+over ``mapInPandas`` — batch shape real, per-row Python never touches
+the JVM boundary.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import zlib
 
 import numpy as np
 
-LOSSY_FMTS = {"jpeg_sim"}
+LOSSY_FMTS = {"jpeg_sim", "jpeg"}
 JPEG_SIM_QSTEP = 4  # quantization step → MSE≈q²/12 → PSNR≈46.9 dB
 
 
@@ -139,12 +141,31 @@ def encode_jpeg_sim(px: np.ndarray) -> bytes:
 
 decode_jpeg_sim = decode_raw
 
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """Real baseline JFIF (functions/jpeg.py), quality 98 — clears the
+    input_hint's PSNR >= 40 dB lossy gate with margin on corpus fields."""
+    from crawlspark.functions import jpeg as J
+
+    return J.encode_jpeg(px, quality=98)
+
+
+def decode_jpeg(data: bytes, w: int, h: int) -> np.ndarray:
+    from crawlspark.functions import jpeg as J
+
+    px = J.decode_jpeg(data)
+    if px.shape[:2] != (h, w):
+        raise ValueError(f"jpeg dims {px.shape[:2]} != metadata {(h, w)}")
+    return px
+
+
 ENCODERS = {
     "raw": encode_raw,
     "ppm": encode_ppm,
     "bmp": encode_bmp,
     "png": encode_png,
     "jpeg_sim": encode_jpeg_sim,
+    "jpeg": encode_jpeg,
 }
 DECODERS = {
     "raw": decode_raw,
@@ -152,6 +173,7 @@ DECODERS = {
     "bmp": decode_bmp,
     "png": decode_png,
     "jpeg_sim": decode_jpeg_sim,
+    "jpeg": decode_jpeg,
 }
 
 
