@@ -36,7 +36,8 @@ VOCAB = [
     f"w{i:03d}" for i in range(400)
 ] + "the and of to in is that it for with data spark crawl page image wiki".split()
 
-FMTS = ["raw", "ppm", "bmp", "png", "jpeg_sim"]
+# "jpeg" = real baseline JFIF (functions/jpeg.py, q98 -> PSNR >= 40 dB)
+FMTS = ["raw", "ppm", "bmp", "png", "jpeg_sim", "jpeg"]
 
 # URL patterns the crawl admits (engine CrawlConfig.allowed_url_patterns for
 # this corpus) — mirrors the reference's domain-allowlist style
