@@ -314,7 +314,17 @@ def q_simhash_pairs(spark, sf_dir):
     pigeonhole-EXACT, the verified output equals the cross join (which is
     what the DuckDB oracle computes)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", DD.simhash60_udf(F.col("text")).alias("fp"))
+    # spread (small parquet arrives as ONE partition — the Arrow UDF would
+    # run serially) and persist: the banded frame feeds BOTH sides of the
+    # self-join, which would otherwise run the fingerprint UDF twice.
+    # Registered in dedup's cache registry → released on the next dedup
+    # entry-point invocation (ADVICE r2 unpersist contract).
+    DD.release_caches()
+    fp = DD._persist(
+        DD._spread(docs.select("doc_id", "text")).select(
+            "doc_id", DD.simhash60_udf(F.col("text")).alias("fp")
+        )
+    )
     bands = F.array(
         *[
             F.struct(

@@ -410,7 +410,16 @@ def embedding_neardup_lsh_pairs(
     oracle bit-for-bit (rounded 6 dp)."""
     from crawlspark.operators.similarity import sketch
 
-    sk = sketch(df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    release_caches()
+    # persisted: df feeds the sketch AND both verify-join sides (any
+    # upstream construction would evaluate 3×), and the sketch feeds both
+    # sides of the bucket self-join; its hyperplane dot products are
+    # interpreted-HOF work per vector. _spread first: a small parquet
+    # input is ONE partition and would run the HOF stage serially.
+    df = _persist(_spread(df.select(F.col(id_col), F.col(vec_col))))
+    sk = _persist(
+        sketch(df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    )
     cand = (
         sk.alias("x")
         .join(sk.alias("y"), ["table_id", "bucket"])
