@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawlspark.functions.text import md5_int60, tokens, word_ngrams
 
@@ -533,6 +534,16 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("v"))
     )
+    # Convergence detection without an extra job: per-vertex labels are
+    # MONOTONE non-increasing (min of self + neighbors), so the label
+    # multiset changed iff Σcomp changed — an exact decimal sum rides the
+    # write via Observation. Non-numeric id columns fall back to a
+    # join-based changed check.
+    numeric = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    prev_sum = None
     for i in range(max_iter):
         # push every vertex's current label to its neighbors; keep the min
         prop = edges.join(labels, edges["src"] == labels["v"]).select(
@@ -542,17 +553,30 @@ def connected_components(
             labels.unionByName(prop).groupBy("v").agg(F.min("comp").alias("comp"))
         )
         lp = _os.path.join(scratch, f"labels_{i}")
-        new_labels.write.mode("overwrite").parquet(lp)
-        new_labels = spark.read.parquet(lp)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        if numeric:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            )
+            new_labels.write.mode("overwrite").parquet(lp)
+            cur_sum = obs.get["s"]
+            changed = prev_sum is None or cur_sum != prev_sum
+            prev_sum = cur_sum
+            new_labels = spark.read.parquet(lp)
+        else:
+            new_labels.write.mode("overwrite").parquet(lp)
+            new_labels = spark.read.parquet(lp)
+            changed = bool(
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
-        if changed == 0:
+        if not changed:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
