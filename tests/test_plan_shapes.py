@@ -57,3 +57,26 @@ def test_ann_ivf_is_cell_join_not_scan(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_stratified_is_shuffle_free_and_prunes(spark):
+    """The deterministic sample is a projection + filter: no Exchange
+    node at all, and the parquet scan must not read the text column."""
+    from crawlspark.operators import sampling as SP
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = SP.sample_stratified(docs.select("doc_id", "lang"), "lang", {"en": 1.0}, 0.25)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_pack_token_budget_single_partitioned_window(spark):
+    """One hash-partitioned window per stratum — exactly one shuffle,
+    never a global (partition-less) window."""
+    from crawlspark.operators import sampling as SP
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(SP.pack_token_budget(docs, 512, "lang"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
