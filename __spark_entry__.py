@@ -382,7 +382,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
     aug = emb.select("vec_id", e.alias("embedding")).unionByName(dup)
     return DD.embedding_neardup_lsh_pairs(
-        aug, "vec_id", "embedding", threshold=0.9, bits=8, n_tables=8
+        aug, "vec_id", "embedding", threshold=0.9, bits=12, n_tables=8
     ).orderBy("id_a", "id_b")
 
 

@@ -400,23 +400,27 @@ def embedding_neardup_pairs(
 
 def embedding_neardup_lsh_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.9, bits: int = 8, n_tables: int = 8,
+    threshold: float = 0.9, bits: int = 12, n_tables: int = 8,
 ) -> DataFrame:
     """Scale-path near-dup: hyperplane-LSH bucket collisions as candidates
-    (operators/similarity.sketch), exact sequential-sum cosine verify on
-    candidates only — O(collisions), never N². Recall per pair at angle θ
-    is 1 − (1 − (1−θ/π)^bits)^n_tables; at near-dup thresholds (≥0.9,
-    θ ≤ 26°) the defaults give ~1-1e-6 recall. Verify uses the
-    zip_with/aggregate sequential double sum so values match the DuckDB
-    oracle bit-for-bit (rounded 6 dp)."""
+    (operators/similarity.sketch), exact cosine verify on candidates only
+    — O(collisions), never N². Recall per pair at angle θ is
+    1 − (1 − (1−θ/π)^bits)^n_tables; at near-dup thresholds (≥0.9,
+    θ ≤ 26°) the defaults give ~1-1e-5 recall. ``bits`` sizes the bucket
+    space: false candidates fall ~2× per extra bit while true-pair recall
+    decays only as p_bit^bits (p_bit ≈ 0.97 at θ ≈ 5°), so more bits is
+    the cheap lever against candidate explosion at scale. Verify is an
+    Arrow pandas-UDF numpy dot (the 64-term interpreted zip_with/aggregate
+    HOF was the profile hotspot at ~100× codegen cost); rounding to 6 dp
+    absorbs the summation-order difference vs the sequential-sum DuckDB
+    oracle, exactly as ``embedding_neardup_pairs`` does."""
     from crawlspark.operators.similarity import sketch
 
     release_caches()
     # persisted: df feeds the sketch AND both verify-join sides (any
     # upstream construction would evaluate 3×), and the sketch feeds both
-    # sides of the bucket self-join; its hyperplane dot products are
-    # interpreted-HOF work per vector. _spread first: a small parquet
-    # input is ONE partition and would run the HOF stage serially.
+    # sides of the bucket self-join. _spread first: a small parquet
+    # input is ONE partition and would run the sketch stage serially.
     df = _persist(_spread(df.select(F.col(id_col), F.col(vec_col))))
     sk = _persist(
         sketch(df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
@@ -430,19 +434,12 @@ def embedding_neardup_lsh_pairs(
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nrm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v)
-    )
-    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "cosine", F.round(_cosine_pudf(F.col("va"), F.col("vb")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -459,6 +456,21 @@ from pyspark.sql.types import LongType as _LongType
 from crawlspark.functions.text import TOKEN_SPLIT_REGEX as _TOKRE
 
 _SPLIT = _re.compile(_TOKRE)
+
+
+@_pandas_udf(T.DoubleType())
+def _cosine_pudf(va: _pd.Series, vb: _pd.Series) -> _pd.Series:
+    """Row-wise cosine of two array<double> columns, Arrow-batched numpy.
+    Zero-norm vectors yield cosine 0 (no-match), matching
+    embedding_neardup_pairs' convention."""
+    if len(va) == 0:
+        return _pd.Series([], dtype=float)
+    a = _np.stack(va.to_numpy()).astype(_np.float64)
+    b = _np.stack(vb.to_numpy()).astype(_np.float64)
+    dot = _np.einsum("ij,ij->i", a, b)
+    den = _np.linalg.norm(a, axis=1) * _np.linalg.norm(b, axis=1)
+    den[den == 0.0] = _np.inf
+    return _pd.Series(dot / den)
 
 
 @_pandas_udf(_LongType())
@@ -496,30 +508,59 @@ def simhash60_udf(texts: _pd.Series) -> _pd.Series:
 # cluster. (The reference has no analog — this is the LLM-training-data
 # surface SURVEY.md §6 scopes on top of the crawl tables.)
 
+# scratch dirs created by connected_components, removed at interpreter
+# exit (the returned DataFrame lazily reads the final labels parquet, so
+# the dir must outlive the call; superseded per-iteration dirs are
+# deleted eagerly inside the loop).
+_CC_SCRATCH_DIRS: list[str] = []
+
+
+def _cc_cleanup() -> None:
+    import shutil as _shutil
+
+    while _CC_SCRATCH_DIRS:
+        _shutil.rmtree(_CC_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components of the undirected pair graph by min-label
-    propagation: every vertex's label converges to the smallest vertex id
-    reachable from it. Returns (v, comp).
+    """Connected components of the undirected pair graph: every vertex's
+    label converges to the smallest vertex id reachable from it. Returns
+    (v, comp).
 
-    Scale shape: each iteration is one edge-join + hash aggregate —
-    shuffles O(E) rows, no driver-side graph state — and converges in
-    ``diameter`` iterations (near-dup clusters from LSH pairs are
-    near-cliques, so 2-4 in practice). Iteration state is materialized
-    to parquet scratch each step so the plan/lineage stays flat no
-    matter how many iterations run (iterative localCheckpoint/persist
-    chains degrade the driver); the final labels frame reads from
-    scratch, which lives in the OS temp dir.
+    Each iteration combines min-label propagation over the edges with
+    POINTER DOUBLING (``comp := min(comp, comp[comp])`` via a labels
+    self-join), so the per-vertex label distance to the component minimum
+    at least halves every round — convergence is O(log diameter)
+    iterations, not O(diameter). A 1000-hop template/boilerplate chain at
+    web scale finishes in ~10 rounds instead of 1000. Each iteration
+    shuffles O(E + V) rows with no driver-side graph state.
+
+    Iteration state is materialized to parquet scratch each step so the
+    plan/lineage stays flat no matter how many iterations run (iterative
+    localCheckpoint/persist chains degrade the driver); superseded
+    iteration dirs are deleted eagerly and the final dir is removed at
+    interpreter exit. ``max_iter`` is an optional safety cap: when hit,
+    the current (possibly unconverged) labels are returned rather than
+    failing the job — by default the loop runs to convergence, which
+    pointer doubling bounds at ~log2(|V|) rounds. Pass ``stats`` to
+    receive {"iterations": n, "converged": bool}.
     """
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
     import tempfile as _tempfile
 
     spark = pairs.sparkSession
     scratch = _tempfile.mkdtemp(prefix="crawlspark_ccomp_")
+    if not _CC_SCRATCH_DIRS:
+        _atexit.register(_cc_cleanup)
+    _CC_SCRATCH_DIRS.append(scratch)
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
@@ -534,40 +575,64 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("v"))
     )
-    # Convergence detection without an extra job: per-vertex labels are
-    # MONOTONE non-increasing (min of self + neighbors), so the label
-    # multiset changed iff Σcomp changed — an exact decimal sum rides the
-    # write via Observation. Non-numeric id columns fall back to a
-    # join-based changed check.
+    # Convergence detection without an extra job OR an extra confirming
+    # iteration: per-vertex labels are MONOTONE non-increasing, so the
+    # hop step changed nothing iff Σcomp(hopped) == Σcomp(previous
+    # labels) — and hop-no-change implies comp is constant per component
+    # and equal to the component minimum (doubling is then a no-op too),
+    # i.e. CONVERGED. Both sums ride the single per-iteration parquet
+    # write via Observation (the hopped frame is inside the written
+    # plan, so its observation fires in the same job). Non-numeric id
+    # columns fall back to a join-based changed check.
     numeric = isinstance(
         labels.schema["comp"].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
-    prev_sum = None
-    for i in range(max_iter):
-        # push every vertex's current label to its neighbors; keep the min
+    prev_final_sum = None
+    converged = False
+    i = 0
+    while max_iter is None or i < max_iter:
+        # 1) min-label propagation: push every vertex's current label to
+        #    its neighbors; keep the min.
         prop = edges.join(labels, edges["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("comp").alias("comp")
         )
-        new_labels = (
+        hopped = (
             labels.unionByName(prop).groupBy("v").agg(F.min("comp").alias("comp"))
         )
-        lp = _os.path.join(scratch, f"labels_{i}")
         if numeric:
             from pyspark.sql import Observation
 
-            obs = Observation()
+            obs_hop = Observation()
+            hopped = hopped.observe(
+                obs_hop, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            )
+        # 2) pointer doubling: comp := min(comp, comp[comp]). Every comp
+        #    value is itself a vertex id (min over vertex ids), so the
+        #    self-join on comp == v always matches — inner join is exact.
+        l2 = hopped.select(
+            F.col("v").alias("pv"), F.col("comp").alias("pcomp")
+        )
+        new_labels = (
+            hopped.join(l2, hopped["comp"] == l2["pv"])
+            .select("v", F.least("comp", "pcomp").alias("comp"))
+        )
+        lp = _os.path.join(scratch, f"labels_{i}")
+        if numeric:
+            obs_fin = Observation()
             new_labels = new_labels.observe(
-                obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+                obs_fin, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
             )
             new_labels.write.mode("overwrite").parquet(lp)
-            cur_sum = obs.get["s"]
-            changed = prev_sum is None or cur_sum != prev_sum
-            prev_sum = cur_sum
+            hop_sum = obs_hop.get["s"]
+            changed = prev_final_sum is None or hop_sum != prev_final_sum
+            prev_final_sum = obs_fin.get["s"]
             new_labels = spark.read.parquet(lp)
         else:
             new_labels.write.mode("overwrite").parquet(lp)
             new_labels = spark.read.parquet(lp)
+            # new == old ⇒ hopped == old (monotone: new ≤ hopped ≤ old
+            # pointwise) ⇒ converged
             changed = bool(
                 new_labels.alias("n")
                 .join(labels.alias("o"), "v")
@@ -576,11 +641,21 @@ def connected_components(
                 .count()
             )
         labels = new_labels
+        # the superseded iteration dir is no longer referenced (labels
+        # now reads labels_{i}) — drop it so long runs don't accumulate
+        # O(iterations) scratch (edges/ stays live until exit).
+        if i > 0:
+            _shutil.rmtree(
+                _os.path.join(scratch, f"labels_{i - 1}"), ignore_errors=True
+            )
+        i += 1
         if not changed:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+            converged = True
+            break
+    if stats is not None:
+        stats["iterations"] = i
+        stats["converged"] = converged
+    return labels
 
 
 def dedup_clusters(

@@ -177,13 +177,21 @@ def test_connected_components_and_dedup_clusters(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    # a 12-vertex path graph needs multiple propagation iterations
+    # a 64-vertex path graph (63 hops — past the old max_iter=25 cap of
+    # the diameter-bound propagation): pointer doubling must converge in
+    # O(log n) iterations, not O(diameter)
+    import math
+
+    n = 64
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
     )
-    rows = DD.connected_components(pairs).collect()
+    stats = {}
+    rows = DD.connected_components(pairs, stats=stats).collect()
     assert {r["comp"] for r in rows} == {1}
-    assert len(rows) == 12
+    assert len(rows) == n
+    assert stats["converged"]
+    assert stats["iterations"] <= 2 * math.ceil(math.log2(n))
 
 
 def test_sample_stratified_deterministic_and_rates(spark):
