@@ -868,7 +868,7 @@ def _sample_stratified_sql() -> str:
     return f"""
       select doc_id, lang from documents
       where ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
-            < cast((case lang {cases} else {SAMPLE_DEFAULT} end) * 1000000 as bigint)
+            < cast(round((case lang {cases} else {SAMPLE_DEFAULT} end) * 1000000) as bigint)
       order by doc_id
     """
 

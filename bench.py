@@ -94,7 +94,7 @@ def run_crawl_bench(spark, n_pages: int, n_domains: int, rounds: int) -> dict:
         "scheduled": scheduled,
         "urls_per_sec": round(scheduled / dt, 1) if dt > 0 else 0.0,
         "round_secs": round_secs,
-        "steady_round_sec_median": steady[len(steady) // 2],
+        "steady_round_sec_median": steady[len(steady) // 2] if steady else None,
         # heads-scheduler telemetry: frontier rows the schedule actually
         # read vs the full frontier (stats-pruned scan; None = full scan)
         "sched_scan_last": eng.stats.rounds[-1].sched_scan if eng.stats.rounds else None,

@@ -192,6 +192,11 @@ class CrawlEngine:
         self._state_ver: dict[str, int] = {}
         self._delta_ver: dict[str, int] = {}
         self._state_parts: dict[str, list[str]] = {}
+        # delta-path allocation is shared between the round's background
+        # delta writes and admission's own (concurrent) delta writes
+        import threading
+
+        self._delta_lock = threading.Lock()
         # membership pre-filter for the seen anti-join: 'bloom' (OR-merge
         # bitarrays) or 'cuckoo' (16-bit fingerprints, overflow-safe) —
         # both uphold the no-false-negative exactness contract
@@ -354,17 +359,20 @@ class CrawlEngine:
         return out
 
     def _alloc_delta_path(self, name: str) -> str:
-        """Reserve the next delta file path for a state table (driver
-        thread only — versions are handed out serially even when the
-        writes themselves run concurrently)."""
-        dirp = os.path.join(self.scratch_dir, "state", name)
-        if name not in self._delta_ver:
-            # resume safety: never overwrite a delta dir a previous run's
-            # manifest may reference
-            self._delta_ver[name] = len(os.listdir(dirp)) if os.path.isdir(dirp) else 0
-        ver = self._delta_ver[name]
-        self._delta_ver[name] = ver + 1
-        return os.path.join(dirp, f"d{ver:06d}")
+        """Reserve the next delta file path for a state table. Lock-
+        serialized: the round's background delta writes and admission's
+        own delta writes may allocate concurrently."""
+        with self._delta_lock:
+            dirp = os.path.join(self.scratch_dir, "state", name)
+            if name not in self._delta_ver:
+                # resume safety: never overwrite a delta dir a previous
+                # run's manifest may reference
+                self._delta_ver[name] = (
+                    len(os.listdir(dirp)) if os.path.isdir(dirp) else 0
+                )
+            ver = self._delta_ver[name]
+            self._delta_ver[name] = ver + 1
+            return os.path.join(dirp, f"d{ver:06d}")
 
     def _append_state_delta(self, delta: DataFrame, name: str, single: bool = True) -> DataFrame:
         """Append-only state table (completed / bad / fingerprints): write
@@ -384,28 +392,52 @@ class CrawlEngine:
         one small Spark job whose cost is mostly fixed driver/scheduler
         latency, so overlapping them turns a sum of round-trips into a
         max. Spark job submission is thread-safe; paths/versions are
-        allocated serially here first, and parts are registered only
-        after every write succeeds (same write-then-register semantics
-        as the sequential helper)."""
+        allocated serially first, and parts are registered only after
+        every write succeeds (same write-then-register semantics as the
+        sequential helper)."""
+        self._append_state_deltas_async(items)()
+
+    def _append_state_deltas_async(self, items: list[tuple[DataFrame, str, bool]]):
+        """Kick the delta writes off in background threads and return a
+        join() callable that registers the parts (or raises). Lets the
+        caller overlap the writes with other driver work (run_round
+        overlaps the popped/bad/fingerprints deltas with admission, which
+        touches only the pending/completed tables and never reads these
+        three mid-round). On failure every allocated-but-unregistered
+        delta dir is removed best-effort, so no orphan parquet dirs
+        accumulate in state/ (the exception still aborts the round)."""
         if not items:
-            return
+            return lambda: None
         alloc = [
             (delta.repartition(1) if single else delta, name, self._alloc_delta_path(name))
             for delta, name, single in items
         ]
-        if len(alloc) == 1:
-            alloc[0][0].write.mode("overwrite").parquet(alloc[0][2])
-        else:
-            from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(alloc)) as ex:
-                list(
-                    ex.map(
-                        lambda t: t[0].write.mode("overwrite").parquet(t[2]), alloc
-                    )
-                )
-        for _, name, path in alloc:
-            self._state_parts.setdefault(name, []).append(path)
+        ex = ThreadPoolExecutor(max_workers=len(alloc))
+        futs = [
+            ex.submit(lambda t=t: t[0].write.mode("overwrite").parquet(t[2]))
+            for t in alloc
+        ]
+        ex.shutdown(wait=False)
+
+        def join() -> None:
+            err = None
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # keep draining so all writes settle
+                    err = err or e
+            if err is not None:
+                import shutil
+
+                for _, _, path in alloc:
+                    shutil.rmtree(path, ignore_errors=True)
+                raise err
+            for _, name, path in alloc:
+                self._state_parts.setdefault(name, []).append(path)
+
+        return join
 
     def _state_table(self, name: str, schema: T.StructType) -> DataFrame:
         parts = self._state_parts.get(name)
@@ -484,6 +516,9 @@ class CrawlEngine:
         self._state_parts["pending"] = [self._state_parts["pending"][-1]]
         self._state_parts["popped"] = []
         self._sorted_base = self._state_parts["pending"][0]
+        # superseded bases never get scheduled again — REPLACE the stats
+        # cache instead of accumulating one entry per compaction forever
+        self._fstats_cache = {}
         if self._heads_sched:
             # prime the stats cache with tail-key-annotated footer entries
             # so this compaction's files prune exactly from the next round
@@ -826,6 +861,11 @@ class CrawlEngine:
         self._state_parts["popped"] = []
         pp = self._state_parts["pending"]
         self._sorted_base = pp[0] if len(pp) == 1 else None
+        # drop stats of superseded bases (the new base's entries load
+        # lazily from the snapshot manifest on first use)
+        self._fstats_cache = {
+            k: v for k, v in self._fstats_cache.items() if k == self._sorted_base
+        }
 
     # ------------------------------------------------------------------
     def run_round(self) -> bool:
@@ -858,16 +898,20 @@ class CrawlEngine:
 
         # pop-order gates (worker.py:54-79), against round-start bad state.
         # One broadcast join covers both bad-URL kinds; flags per url.
+        # `hits` stays LAZY: its two consumers (the fetchable anti-join
+        # inside the routed write, the flag join inside the statused
+        # write) each evaluate the small broadcast join + agg in-job —
+        # cheaper than a dedicated materialization round-trip per round.
         depth_ok = F.col("depth") <= cfg.max_depth
         rest = s.filter(depth_ok)
         if self._n_bad_total == 0:
             # no bad-URL memory yet → the similarity join is empty by
-            # construction; skip the whole job (one round-trip saved)
+            # construction; skip the whole plan
             hits = self.spark.createDataFrame(
                 [], "url string, low_hit boolean, err_hit boolean"
             )
         else:
-            hits = self._mat(
+            hits = (
                 BAD.similarity_hits(
                     rest, self.bad, cfg.jaccard_threshold, cfg.jaccard_similar_count,
                     broadcast_bad=self._n_bad_total <= self._broadcast_bad_limit,
@@ -876,19 +920,16 @@ class CrawlEngine:
                 .agg(
                     F.max(F.col("kind") == "low_data").alias("low_hit"),
                     F.max(F.col("kind") == "error").alias("err_hit"),
-                ),
-                "hits",
-                single=True,
+                )
             )
-        _mark("hits")
         fetchable = rest.join(hits, "url", "left_anti").filter(
             ~traps.is_trap(F.col("url"))
         )
 
-        # fetch+route materialized FIRST so the corpus scan happens exactly
-        # once per round (the simhash and near-dup plans would otherwise
-        # re-derive the fetch join 3-4x); then fingerprint + near-dup
-        # verdicts join against the materialized batch.
+        # ONE fetch+route+fingerprint materialization per round: the
+        # simhash rides the routed write as a scalar Arrow UDF gated to
+        # parse rows (the corpus scan happens exactly once; the former
+        # routed0 → simhash-join → routed chain cost a second full write).
         # slim the broadcast side to the 4 columns fetch/discovery need —
         # sim_tokens and the other frontier columns would triple the
         # broadcast payload
@@ -897,9 +938,8 @@ class CrawlEngine:
         if cfg.extra.get("fetch_mode") == "http":
             from crawlspark.operators import httpfetch as HF
 
-            routed0 = self._mat(
-                HF.live_fetch_and_route(fetch_in, cfg, cfg.extra.get("http_transport")),
-                "routed0",
+            routed_plan = HF.live_fetch_and_route(
+                fetch_in, cfg, cfg.extra.get("http_transport")
             )
         else:
             pages_src = self.pages
@@ -912,24 +952,27 @@ class CrawlEngine:
                     ).distinct().collect()
                 ]
                 pages_src = self.pages.filter(F.col("pbucket").isin(touched))
-            routed0 = self._mat(
-                FE.fetch_and_route(fetch_in, pages_src, cfg, broadcast_batch=bb),
-                "routed0",
+            routed_plan = FE.fetch_and_route(
+                fetch_in, pages_src, cfg, broadcast_batch=bb
             )
-        # sh stays UNmaterialized: both consumers (the join and the
-        # near-dup probe) sit inside the single `routed` write job, and
-        # re-running the Arrow fingerprint twice over the already-
-        # materialized routed0 parquet is cheaper than an extra
-        # write+read round-trip per crawl round
-        sh = FE.batch_simhash(routed0.filter(F.col("route") == "parse"))
-        nd = FE.neardup_hits(
-            sh, self.fingerprints, cfg.simhash_max_hamming, broadcast_batch=bb
-        )
+        parse_cond = F.col("route") == "parse"
         routed = self._mat(
-            routed0.join(sh, "url_hash", "left").join(
-                nd.withColumn("_nd", F.lit(True)), "url_hash", "left"
+            routed_plan.withColumn(
+                "simhash",
+                # arg-gated so the UDF never tokenizes non-parse captions
+                F.when(
+                    parse_cond,
+                    FE.simhash_caption_udf(F.when(parse_cond, F.col("caption"))),
+                ),
             ),
             "routed",
+        )
+        # near-dup probe vs round-start fingerprint state — LAZY: its only
+        # consumer is the statused write job below; the banded broadcast
+        # join over the materialized routed parquet evaluates exactly once
+        nd = FE.neardup_hits(
+            routed.filter(parse_cond).select("url_hash", "simhash"),
+            self.fingerprints, cfg.simhash_max_hamming, broadcast_batch=bb,
         )
         _mark("routed")
 
@@ -940,11 +983,12 @@ class CrawlEngine:
             base.join(hits, "url", "left")
             .join(
                 routed.select(
-                    "url_hash", "route", "total_words", "n_distinct_words", "_nd"
+                    "url_hash", "route", "total_words", "n_distinct_words"
                 ),
                 "url_hash",
                 "left",
             )
+            .join(nd.withColumn("_nd", F.lit(True)), "url_hash", "left")
             .withColumn(
                 "status",
                 F.when(~depth_ok, "depth_skip")
@@ -1057,7 +1101,11 @@ class CrawlEngine:
         # append — never an O(frontier) rewrite), discoveries enter via
         # _admit's pending delta
         round_deltas.append((sched.select("url_hash"), "popped", True))
-        self._append_state_deltas(round_deltas)
+        # popped/bad/fingerprints land in tables admission never touches
+        # mid-round (it reads pending-base + completed for seen-ness and
+        # writes pending/completed deltas), so these writes overlap the
+        # whole admission phase; joined before checkpoint/compaction.
+        join_deltas = self._append_state_deltas_async(round_deltas)
         _mark("pending_update")
         n_new = (
             self._admit(candidates)
@@ -1065,6 +1113,8 @@ class CrawlEngine:
             else 0
         )
         _mark("admit")
+        join_deltas()
+        _mark("deltas_join")
         self._checkpoint_state()
         _mark("ckpt_state")
 

@@ -136,6 +136,25 @@ def route_verdict(joined: DataFrame, config: CrawlConfig) -> DataFrame:
     return routed
 
 
+@F.pandas_udf(LongType())
+def simhash_caption_udf(captions: pd.Series) -> pd.Series:
+    """Scalar Arrow twin of ``_simhash_batches`` — lets the fingerprint
+    ride the fetch/route materialization itself (one write per round
+    instead of routed0 + a second simhash-join write). Null captions
+    hash the empty counter, identical to the batch path's (t or "")."""
+    splitter = _re.compile(X.TOKEN_SPLIT_REGEX)
+    stop = set(X.STOPWORDS)
+    out = np.zeros(len(captions), dtype=np.int64)
+    for i, t in enumerate(captions):
+        counts: dict[str, int] = {}
+        if t:
+            for tok in splitter.split(t.lower()):
+                if tok and tok not in stop:
+                    counts[tok] = counts.get(tok, 0) + 1
+        out[i] = SH.simhash_counter(counts)
+    return pd.Series(out)
+
+
 def batch_simhash(parse_rows: DataFrame) -> DataFrame:
     """(url_hash, simhash) for rows routed 'parse' (Arrow pandas UDF)."""
     return parse_rows.select("url_hash", "caption").mapInPandas(

@@ -43,7 +43,10 @@ def sample_stratified(
     rate: Column = F.lit(float(default_rate))
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
-    return df.filter(u < (rate * SAMPLE_MOD).cast("long"))
+    # round(), not a truncating cast: DuckDB's bigint cast ROUNDS, so a
+    # non-dyadic rate like 0.7 (0.7e6 = 699999.999…) would otherwise put
+    # the two engines one hash-bucket apart; both twins now round
+    return df.filter(u < F.round(rate * SAMPLE_MOD).cast("long"))
 
 
 def pack_token_budget(
