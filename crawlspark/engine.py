@@ -866,6 +866,11 @@ class CrawlEngine:
         self._fstats_cache = {
             k: v for k, v in self._fstats_cache.items() if k == self._sorted_base
         }
+        # snapshot maintenance: bounded history when configured (the
+        # adopted base above is the NEW snapshot's — always survives)
+        keep = self.config.extra.get("snapshot_keep_last")
+        if keep:
+            self.catalog.expire_snapshots(int(keep))
 
     # ------------------------------------------------------------------
     def run_round(self) -> bool:

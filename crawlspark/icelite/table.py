@@ -10,8 +10,11 @@ checkpoint/resume contract is implemented directly:
   temp file and ``os.replace``d, then the ``_current`` pointer is
   ``os.replace``d — readers only ever follow ``_current`` → manifest →
   files, so a crash mid-commit leaves the previous snapshot intact;
-- rollback = point ``_current`` at an older manifest (kept forever here;
-  a real deployment would GC).
+- rollback = point ``_current`` at an older retained manifest;
+- maintenance = ``expire_snapshots(keep_last=N)``: drops all older
+  manifests and sweeps catalog-owned data dirs no surviving manifest
+  references (Iceberg's expire_snapshots + remove_orphan_files) — at
+  10^10 rows the un-GC'd compaction history is otherwise a storage leak.
 
 On a cluster with a real Iceberg catalog the engine's state tables bind
 to ``spark.read.format('iceberg')`` instead — this module is deliberately
@@ -259,3 +262,69 @@ class IceliteCatalog:
             f.write(mrel)
         os.replace(cur_tmp, os.path.join(self.root, "_current"))
         return snap
+
+    # -- maintenance ----------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
+        """Iceberg-style snapshot expiry + orphan-file removal: keep the
+        newest ``keep_last`` manifests (always including the one
+        ``_current`` points at), delete the rest, then sweep every table
+        dir under the catalog-owned ``data/`` root that no SURVIVING
+        manifest references — this also collects dirs stranded by a
+        commit that crashed before its manifest landed. By-reference
+        paths outside ``data/`` (the engine's append-only scratch
+        deltas) are never touched: surviving manifests still reference
+        them and their lifecycle belongs to the writer. Expired snapshot
+        ids are no longer rollback targets — exactly Iceberg's
+        ``expire_snapshots`` contract. Returns removal counts."""
+        import shutil
+
+        mdir = os.path.join(self.root, "manifests")
+        manifests = sorted(
+            f for f in os.listdir(mdir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+        cur_file = os.path.join(self.root, "_current")
+        current = None
+        if os.path.exists(cur_file):
+            with open(cur_file) as f:
+                current = os.path.basename(f.read().strip())
+        keep = set(manifests[-max(keep_last, 1):])
+        if current is not None:
+            keep.add(current)
+        expired = [m for m in manifests if m not in keep]
+
+        protected: set[str] = set()
+        for m in keep:
+            try:
+                with open(os.path.join(mdir, m)) as f:
+                    d = json.load(f)
+            except FileNotFoundError:
+                continue
+            for info in d.get("tables", {}).values():
+                rels = info.get("paths") or (
+                    [info["path"]] if info.get("path") else []
+                )
+                for r in rels:
+                    protected.add(os.path.normpath(os.path.join(self.root, r)))
+
+        for m in expired:
+            os.remove(os.path.join(mdir, m))
+
+        removed_dirs = 0
+        ddir = os.path.join(self.root, "data")
+        for snapdir in sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []:
+            sd = os.path.join(ddir, snapdir)
+            if not os.path.isdir(sd):
+                continue
+            for tname in sorted(os.listdir(sd)):
+                td = os.path.normpath(os.path.join(sd, tname))
+                if td not in protected:
+                    shutil.rmtree(td, ignore_errors=True)
+                    removed_dirs += 1
+            if not os.listdir(sd):
+                os.rmdir(sd)
+        return {
+            "expired_manifests": len(expired),
+            "removed_data_dirs": removed_dirs,
+            "kept_manifests": sorted(keep & set(manifests)),
+        }
