@@ -494,8 +494,10 @@ def q_payload_resize(spark, sf_dir):
 
 
 def q_video_frames(spark, sf_dir):
-    """Frame sampling over synthetic raw-container videos (every 2nd
-    frame → phash). Rows-only check."""
+    """Frame sampling over synthetic videos (every 2nd frame → phash),
+    container rotation: even doc ids arrive as REAL Motion-JPEG streams
+    (each frame a baseline JFIF decoded by functions/jpeg.py), odd ids
+    as the raw CSV0 container. Rows-only check (goldens pin values)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -510,10 +512,11 @@ def q_video_frames(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (f"vid{int(d)}", MM.make_video_bytes(f"vid{int(d)}", 8, 8, 4 + int(d) % 3))
-                for d in pdf["doc_id"]
-            ]
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                maker = MM.make_mjpeg_bytes if d % 2 == 0 else MM.make_video_bytes
+                rows.append((f"vid{d}", maker(f"vid{d}", 8, 8, 4 + d % 3)))
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
     vids = docs.mapInPandas(gen, schema)
@@ -521,8 +524,10 @@ def q_video_frames(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """PCM feature extraction (RMS / peak / zero-crossings) over
-    synthetic waveforms. Rows-only check."""
+    """Audio feature extraction (RMS / peak / zero-crossings), format
+    rotation: even doc ids arrive G.711 µ-law companded (REAL compressed
+    decode path), odd ids as raw int16 PCM. Rows-only check (goldens
+    pin values)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -541,10 +546,14 @@ def q_audio_features(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (f"aud{int(d)}", MM.waveform_for_id(f"aud{int(d)}").tobytes(), "pcm16")
-                for d in pdf["doc_id"]
-            ]
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pcm = MM.waveform_for_id(f"aud{d}")
+                if d % 2 == 0:
+                    rows.append((f"aud{d}", MM.ulaw_encode(pcm), "ulaw"))
+                else:
+                    rows.append((f"aud{d}", pcm.tobytes(), "pcm16"))
             yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
 
     audio = docs.mapInPandas(gen, schema)

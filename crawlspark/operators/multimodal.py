@@ -4,10 +4,12 @@ frame-sampling, audio feature extraction (training-data-pipeline ops).
 Design rule (task brief): image/audio/video ride as opaque ``binary``
 columns with typed metadata; every transform is an Arrow ``mapInPandas``
 batch op with a real schema/partitioning story. The math that CAN be
-real offline IS real (numpy nearest-neighbor resize, raw-frame
-sampling, PCM feature extraction); only third-party codec decodes
-(JPEG/H.264/MP3 — no libs in this sandbox) are stubbed behind
-``NotImplementedError`` with the production swap point documented.
+real offline IS real: numpy resize, raw + Motion-JPEG video containers
+(every MJPEG frame decoded by the pure-numpy JFIF codec in
+functions/jpeg.py), PCM and G.711 µ-law audio. Only codecs that
+genuinely need external libraries (H.264/VP9 inter-frame video, MP3/AAC
+perceptual audio) remain behind ``NotImplementedError`` with the
+production swap point documented.
 
 Synthetic payload twins (`make_video_bytes`, `waveform_for_id`) are
 deterministic pure functions so tests verify outputs exactly.
@@ -86,12 +88,53 @@ def make_video_bytes(video_id: str, w: int, h: int, n_frames: int) -> bytes:
     return b"".join(out)
 
 
+def make_mjpeg_bytes(
+    video_id: str, w: int, h: int, n_frames: int, quality: int = 98
+) -> bytes:
+    """Deterministic synthetic MJPEG elementary stream: each frame is a
+    REAL baseline JFIF image (functions/jpeg.py) and the container is
+    their concatenation — exactly the raw .mjpeg / multipart-stream
+    Motion-JPEG wire format."""
+    from crawlspark.functions import jpeg as J
+
+    return b"".join(
+        J.encode_jpeg(I.pixels_for_id(f"{video_id}:f{i}", w, h), quality=quality)
+        for i in range(n_frames)
+    )
+
+
+def _split_mjpeg(data: bytes) -> list[bytes]:
+    """Frame boundaries of an MJPEG stream. Baseline JFIF byte-stuffs
+    0xFF in entropy-coded data (0xFF00) and uses only 0xFFD0-D7 restart
+    markers inside a scan, so every 0xFFD9 IS an end-of-image marker —
+    splitting on EOI is exact, not heuristic."""
+    frames, start = [], 0
+    while start < len(data):
+        end = data.find(b"\xff\xd9", start)
+        if end < 0:
+            break
+        frames.append(data[start : end + 2])
+        start = end + 2
+    return frames
+
+
 def decode_video(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Raw-container decode → (w, h, frames[n, h, w, 3]). Real codecs are
-    the production swap point."""
+    """Container decode → (w, h, frames[n, h, w, 3]). Two REAL paths:
+    the raw CSV0 container and Motion-JPEG (every frame a baseline JFIF,
+    decoded by the pure-numpy functions/jpeg.py codec). Inter-frame
+    codecs (H.264/VP9) need pyav/ffmpeg — that raise is the production
+    swap point."""
+    if data[:2] == b"\xff\xd8":  # JPEG SOI → MJPEG stream
+        from crawlspark.functions import jpeg as J
+
+        decoded = [J.decode_jpeg(f) for f in _split_mjpeg(data)]
+        if not decoded:
+            raise ValueError("empty MJPEG stream")
+        h, w = decoded[0].shape[:2]
+        return w, h, np.stack(decoded)
     if data[:4] != _VIDEO_MAGIC:
         raise NotImplementedError(
-            "compressed video codecs (H.264/VP9/...) need pyav/ffmpeg — "
+            "inter-frame video codecs (H.264/VP9/...) need pyav/ffmpeg — "
             "not available in this sandbox; plug a decoder in here"
         )
     w = int.from_bytes(data[4:6], "big")
@@ -140,10 +183,45 @@ def waveform_for_id(audio_id: str, n_samples: int = 4096) -> np.ndarray:
     return np.clip(wave, -32768, 32767).astype(np.int16)
 
 
+# -- G.711 µ-law companding (public ITU-T spec, pure numpy) ----------------
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm: np.ndarray) -> bytes:
+    """int16 PCM → 8-bit µ-law (G.711): sign + 3-bit segment exponent +
+    4-bit mantissa, bit-inverted on the wire. Fully vectorized."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # segment = bit_length((mag >> 7) & 0xFF) - 1, floored at 0
+    hi = (mag >> 7) & 0xFF
+    exponent = np.where(
+        hi == 0, 0, np.floor(np.log2(np.maximum(hi, 1))).astype(np.int32)
+    )
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8).tobytes()
+
+
+def ulaw_decode(data: bytes) -> np.ndarray:
+    """8-bit µ-law → int16 PCM: sample = ((mantissa<<3)+BIAS)<<exponent
+    − BIAS, signed. Exact inverse of the encoder's quantizer."""
+    u = ~np.frombuffer(data, dtype=np.uint8).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
 def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """'pcm16' is real; compressed formats are the production swap point."""
+    """'pcm16' (raw) and 'ulaw' (G.711 companded) are real decode paths;
+    perceptual codecs (MP3/AAC) need soundfile/ffmpeg — that raise is
+    the production swap point."""
     if fmt == "pcm16":
         return np.frombuffer(data, dtype=np.int16)
+    if fmt == "ulaw":
+        return ulaw_decode(data)
     raise NotImplementedError(
         f"audio codec {fmt!r} needs soundfile/ffmpeg — not in this sandbox"
     )

@@ -53,6 +53,59 @@ def test_video_roundtrip_and_sampling(spark):
     assert got[1]["frame_phash"] == I.average_hash64(frames[2])
 
 
+def test_mjpeg_roundtrip_and_sampling(spark):
+    # Motion-JPEG: concatenated baseline JFIF frames, split on EOI and
+    # decoded by the real pure-numpy codec — PSNR per frame ≥ 40 dB
+    data = MM.make_mjpeg_bytes("vidM", 8, 8, 5)
+    assert data[:2] == b"\xff\xd8"
+    assert len(MM._split_mjpeg(data)) == 5
+    w, h, frames = MM.decode_video(data)
+    assert (w, h, len(frames)) == (8, 8, 5)
+    for i in range(5):
+        src = I.pixels_for_id(f"vidM:f{i}", 8, 8).astype(np.float64)
+        got = frames[i].astype(np.float64)
+        mse = np.mean((src - got) ** 2)
+        psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else 99.0
+        assert psnr >= 40.0, (i, psnr)
+
+    df = spark.createDataFrame([("vidM", data)], "video_id string, bytes binary")
+    got_rows = MM.sample_frames(df, every_k=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got_rows] == [0, 2, 4]
+    assert got_rows[1]["frame_phash"] == I.average_hash64(frames[2])
+
+
+def test_ulaw_roundtrip():
+    # exact segment-table spot checks (G.711 decode values)
+    assert MM.ulaw_decode(MM.ulaw_encode(np.array([0], dtype=np.int16)))[0] in (0, 4)
+    # all-int16 sweep: companding error bounded by half the local step
+    # (≤ 16 below the bias knee, ≤ 512 in the top segment) and signs kept
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    y = MM.ulaw_decode(MM.ulaw_encode(x)).astype(np.int32)
+    err = np.abs(y - np.clip(x.astype(np.int32), -32635, 32635))
+    assert err.max() <= 512
+    small = np.abs(x.astype(np.int32)) < 128
+    assert err[small].max() <= 16
+    assert np.all(np.sign(y[np.abs(x) > 1000]) == np.sign(x[np.abs(x) > 1000].astype(np.int32)))
+    # SNR on the synthetic waveform: µ-law holds ~35+ dB at speech scale
+    pcm = MM.waveform_for_id("audU").astype(np.float64)
+    dec = MM.ulaw_decode(MM.ulaw_encode(pcm.astype(np.int16))).astype(np.float64)
+    snr = 10 * np.log10(np.sum(pcm**2) / np.sum((pcm - dec) ** 2))
+    assert snr >= 30.0, snr
+
+
+def test_audio_features_ulaw_spark(spark):
+    pcm = MM.waveform_for_id("audB")
+    dec = MM.ulaw_decode(MM.ulaw_encode(pcm)).astype(np.float64)
+    df = spark.createDataFrame(
+        [("audB", MM.ulaw_encode(pcm), "ulaw")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    r = MM.audio_features(df).collect()[0]
+    assert r["n_samples"] == len(pcm)
+    assert r["rms"] == round(float(np.sqrt(np.mean(dec**2))), 4)
+    assert r["peak"] == int(np.abs(dec).max())
+
+
 def test_audio_features_exact(spark):
     pcm = MM.waveform_for_id("audA")
     f64 = pcm.astype(np.float64)
