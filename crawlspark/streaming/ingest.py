@@ -77,9 +77,18 @@ def crawl_telemetry_stream(
     schema,
     sink: str = "parquet",
     query_name: str = "crawl_telemetry",
+    rounds_per_window: int = 5,
 ):
     """Watermarked windowed status counts over the append-only completed
     deltas (the engine's per-round output files ARE a stream source).
+
+    EVENT time, not processing time (VERDICT r3 #6): each row's
+    timestamp derives from its ``completed_round`` column (round N ↦
+    second N of stream time), so window assignment is a pure function of
+    the data — replaying the same deltas yields byte-identical window
+    rows, and a backfilled/late delta file lands in its own round's
+    window rather than "now". ``rounds_per_window`` rounds share one
+    tumbling window.
 
     Production: ``sink='parquet'`` + append mode — windows emit as the
     watermark passes them across micro-batches. One-shot drains
@@ -89,11 +98,17 @@ def crawl_telemetry_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(completed_delta_dir)
-        .withColumn("event_time", F.current_timestamp())
+        .withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("completed_round").cast("long")),
+        )
     )
     agg = (
         src.withWatermark("event_time", "10 seconds")
-        .groupBy(F.window("event_time", "5 seconds"), F.col("status"))
+        .groupBy(
+            F.window("event_time", f"{int(rounds_per_window)} seconds"),
+            F.col("status"),
+        )
         .agg(F.count("*").alias("n"))
         .select(
             F.col("window.start").alias("win_start"),
