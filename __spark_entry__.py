@@ -406,6 +406,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF with DISTRIBUTED-k-means-trained anchors (one Arrow GEMM pass
+    + (cell,dim) sum agg per Lloyd iteration — similarity.py): the
+    production IVF shape where the coarse quantizer is data-trained.
+    Rows-only by contract: cross-partition float-sum order makes the
+    centroids reproducible only to ~1e-12, so there is no byte-exact SQL
+    twin; the value gate is the pytest recall bound (>= 0.9 vs brute
+    force at 10x this corpus, tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_ivf_kmeans_distributed(emb, n_cells=16, iters=5)
+    return SIM.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4,
+        anchors=cents,
+    ).orderBy("query_id", "rank")
+
+
 def q_payload_phash(spark, sf_dir):
     """Multimodal payload plumbing on testdata: deterministic image per
     doc_id (encode → binary column → Arrow decode → phash). No SQL oracle."""
@@ -798,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "payload_phash": q_payload_phash,
         "payload_resize": q_payload_resize,
         "video_frames": q_video_frames,

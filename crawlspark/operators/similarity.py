@@ -263,9 +263,11 @@ def ann_ivf_topk(
     of the corpus instead of O(N). Pass trained ``anchors`` (k-means) for
     recall; the default deterministic anchors keep the DuckDB oracle
     exact."""
-    dim = len(corpus.select(vec_col).first()[0])
     if anchors is None:
-        anchors = ivf_anchors(dim, n_cells)
+        # dim probe only when we must synthesize anchors (array<double>
+        # carries no length in the schema); callers passing trained
+        # anchors skip this extra job entirely (ADVICE r3)
+        anchors = ivf_anchors(len(corpus.select(vec_col).first()[0]), n_cells)
     ca = ivf_assign(corpus, anchors, nprobe=1, id_col=id_col, vec_col=vec_col)
     qa = ivf_assign(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     cand = (

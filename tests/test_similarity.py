@@ -129,15 +129,16 @@ def test_distributed_kmeans_recall_at_10x(spark):
 
     exact = topk_set(cosine_topk(emb, queries, k=5))
     trained = topk_set(
-        ann_ivf_topk(emb, queries, k=5, n_cells=n_clusters, nprobe=2, anchors=cents)
+        ann_ivf_topk(emb, queries, k=5, n_cells=n_clusters, nprobe=3, anchors=cents)
     )
     untrained = topk_set(
         ann_ivf_topk(
-            emb, queries, k=5, n_cells=n_clusters, nprobe=2,
+            emb, queries, k=5, n_cells=n_clusters, nprobe=3,
             anchors=ivf_anchors(dim, n_clusters),
         )
     )
     recall_trained = len(exact & trained) / len(exact)
     recall_untrained = len(exact & untrained) / len(exact)
-    assert recall_trained >= 0.8, (recall_trained, recall_untrained)
+    # the ann_ivf_trained driver query's value gate (VERDICT r3 #8)
+    assert recall_trained >= 0.9, (recall_trained, recall_untrained)
     assert recall_trained >= recall_untrained, (recall_trained, recall_untrained)
