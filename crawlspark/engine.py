@@ -789,7 +789,9 @@ class CrawlEngine:
                     True,
                 )
             )
-        self._append_state_deltas(deltas)
+        # pending/blocked deltas and the bloom-state rebuild both read
+        # only the materialized `rows` parquet — overlap them
+        join_deltas = self._append_state_deltas_async(deltas)
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
@@ -803,14 +805,17 @@ class CrawlEngine:
                 }
                 if len(self._known_doms) > self._known_doms_limit:
                     self._known_doms = None
-        if self.bloom is not None:
-            delta_filter = self.bloom.build(rows.select("url_hash"))
-            merged = (
-                delta_filter
-                if self.bloom_state is None
-                else self.bloom.merge(self.bloom_state, delta_filter)
-            )
-            self.bloom_state = self._mat_state(merged, "bloom", single=True)
+        try:
+            if self.bloom is not None:
+                delta_filter = self.bloom.build(rows.select("url_hash"))
+                merged = (
+                    delta_filter
+                    if self.bloom_state is None
+                    else self.bloom.merge(self.bloom_state, delta_filter)
+                )
+                self.bloom_state = self._mat_state(merged, "bloom", single=True)
+        finally:
+            join_deltas()  # settle/register (or clean up) the delta writes
         return n
 
     def _checkpoint_state(self) -> None:

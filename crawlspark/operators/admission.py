@@ -193,8 +193,13 @@ def admit(
     # fast path stays disabled for the remainder of THIS call.
     fast_ok = True
 
-    for _ in range(3):
-        if batch.isEmpty():
+    for pass_no in range(3):
+        # pass 0's batch comes from a round that parsed/redirected ≥ 1
+        # page — an isEmpty probe there is a wasted job per round in
+        # steady state (the n_fresh == 0 break below covers the rare
+        # zero-candidate case at the same one-job cost). Later passes
+        # carry sitemap-expansion batches that ARE often empty.
+        if pass_no > 0 and batch.isEmpty():
             break
         keyed = with_url_keys(validate(batch, config))
         # batch-dedup: first occurrence (reference admission order) wins

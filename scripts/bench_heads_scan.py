@@ -6,6 +6,9 @@ file_rows), the full scan is O(frontier).
 
 Usage: python scripts/bench_heads_scan.py [small] [big] [n_domains] [rounds]
 Defaults: 1M -> 10M rows, 24 domains, 4 rounds, local[32].
+Env: HEADS_BENCH_KEY=registered_domain|netloc (politeness key),
+     HEADS_BENCH_QUOTA=K (per-key quota; budget math is K-dependent),
+     HEADS_BENCH_OUT=<json path>.
 """
 
 from __future__ import annotations
@@ -25,15 +28,18 @@ from crawlspark.operators.robots import parse_robots
 from crawlspark.session import get_spark
 
 
-def run(spark, n_pages: int, n_domains: int, rounds: int, heads: bool) -> dict:
+def run(spark, n_pages: int, n_domains: int, rounds: int, heads: bool,
+        key: str = "registered_domain", quota: int = 1) -> dict:
     pages = BC.build_pages(spark, min(n_pages, 200_000), n_domains).persist()
     pages.count()
     frontier = BC.build_frontier(spark, n_pages, n_domains)
     robots = BC.build_robots(spark, n_domains)
     cfg = CrawlConfig(
         allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        per_domain_quota=quota,
         extra={
             "heads_scheduling": heads,
+            "politeness_key": key,
             # 100k-row files: the heads scan reads ~#domains files while
             # the file COUNT (not size) grows with the frontier
             "pending_file_rows": 100_000,
@@ -76,16 +82,21 @@ def main() -> None:
     n_domains = int(sys.argv[3]) if len(sys.argv) > 3 else 24
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    key = os.environ.get("HEADS_BENCH_KEY", "registered_domain")
+    quota = int(os.environ.get("HEADS_BENCH_QUOTA", "1"))
     spark = get_spark("heads-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
 
-    out = {"n_domains": n_domains, "rounds": rounds}
+    out = {
+        "n_domains": n_domains, "rounds": rounds,
+        "politeness_key": key, "quota": quota,
+    }
     for label, n, heads in [
         ("small_heads", small, True),
         ("big_heads", big, True),
         ("small_fullscan", small, False),
         ("big_fullscan", big, False),
     ]:
-        out[label] = run(spark, n, n_domains, rounds, heads)
+        out[label] = run(spark, n, n_domains, rounds, heads, key=key, quota=quota)
         print(f"# {label}: median sched {out[label]['sched_sec_median']}s", flush=True)
     out["sched_growth_10x_frontier_heads"] = round(
         out["big_heads"]["sched_sec_median"]

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Two-level scaling evidence for the pipeline operators (VERDICT r3 #9).
+
+scaling_bench.py covers the crawl loop; this runs the dedup/ANN driver
+queries at local[8] vs local[32] over the same scale-factor dir (default
+sf0.1 — 10x the sf0.01 correctness-gate corpus), each level in its own
+Spark session, 2 timed runs per query (first run includes Python-worker
+warmup; the min is the comparable number). Reports per-query 8→32
+speedup — the no-regression bar is speedup >= 0.75 (never >25% slower
+with 4x cores).
+
+Usage: python scripts/scaling_pipeline_ops.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from crawlspark.session import get_spark
+
+QUERIES = [
+    "minhash_lsh",
+    "dedup_clusters",
+    "embedding_neardup_lsh",
+    "ann_ivf_topk",
+]
+
+
+def run_at(cores: int, sf_dir: str, runs: int = 3) -> dict:
+    spark = get_spark(
+        f"pipescale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    qs = E.queries()
+    out: dict = {}
+    for name in QUERIES:
+        samples = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            n = len(qs[name](spark, sf_dir).collect())
+            samples.append(round(time.monotonic() - t0, 2))
+        out[name] = {"samples": samples, "best": min(samples), "rows": n}
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    r8 = run_at(8, sf_dir)
+    time.sleep(20)  # host settle: back-to-back sessions pollute samples
+    r32 = run_at(32, sf_dir)
+    out = {"sf_dir": sf_dir, "local8": r8, "local32": r32, "speedup_8_to_32": {}}
+    for name in QUERIES:
+        out["speedup_8_to_32"][name] = round(r8[name]["best"] / r32[name]["best"], 2)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,15 +90,19 @@ def test_select_head_files_tail_stats_and_interleaved_seqs():
     assert [e["file"] for e in pruned] == ["p01"]
 
 
-def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6):
+def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6,
+               politeness_key: str | None = None):
     n_pages, n_domains = 4000, 6
     pages = BC.build_pages(spark, n_pages, n_domains)
     frontier = BC.build_frontier(spark, n_pages, n_domains)
     robots = BC.build_robots(spark, n_domains)
+    extra = {"heads_scheduling": heads, "pending_file_rows": 200}
+    if politeness_key:
+        extra["politeness_key"] = politeness_key
     cfg = CrawlConfig(
         allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
         per_domain_quota=quota,
-        extra={"heads_scheduling": heads, "pending_file_rows": 200},
+        extra=extra,
     )
     eng = CrawlEngine(
         spark, cfg, None, tempfile.mkdtemp(prefix="heads_"),
@@ -118,13 +122,18 @@ def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6):
     return eng, rows
 
 
-@pytest.mark.parametrize("quota", [1, 2])
-def test_heads_schedule_equals_full_scan(spark, quota):
+@pytest.mark.parametrize(
+    "quota,key",
+    [(1, None), (2, None), (8, "netloc")],
+)
+def test_heads_schedule_equals_full_scan(spark, quota, key):
     """Same crawl with heads pruning ON vs OFF: identical per-URL status,
     completion round and sequence — across compactions, snapshot commits
-    (interval 3) and accumulating tombstones (the budget logic)."""
-    eng_on, rows_on = _run_crawl(spark, heads=True, quota=quota)
-    _, rows_off = _run_crawl(spark, heads=False, quota=quota)
+    (interval 3) and accumulating tombstones (the budget logic). The
+    (8, netloc) cell exercises the K-dependent budget math on the
+    finer-grained politeness key (VERDICT r3 #7)."""
+    eng_on, rows_on = _run_crawl(spark, heads=True, quota=quota, politeness_key=key)
+    _, rows_off = _run_crawl(spark, heads=False, quota=quota, politeness_key=key)
     assert rows_on == rows_off
     # the pruned path must have actually run AND pruned on this layout
     scans = [r.sched_scan for r in eng_on.stats.rounds if r.sched_scan]
