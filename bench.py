@@ -51,6 +51,7 @@ HEADLINE_QUERIES = [
     "embedding_neardup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     "url_canonicalize",
     "sessionize",
 ]
