@@ -965,18 +965,10 @@ class CrawlEngine:
             routed_plan = FE.fetch_and_route(
                 fetch_in, pages_src, cfg, broadcast_batch=bb
             )
+        # route_verdict emits simhash + word counts from a single Arrow
+        # pass over the captions, so the plan is write-ready as-is
         parse_cond = F.col("route") == "parse"
-        routed = self._mat(
-            routed_plan.withColumn(
-                "simhash",
-                # arg-gated so the UDF never tokenizes non-parse captions
-                F.when(
-                    parse_cond,
-                    FE.simhash_caption_udf(F.when(parse_cond, F.col("caption"))),
-                ),
-            ),
-            "routed",
-        )
+        routed = self._mat(routed_plan, "routed")
         # near-dup probe vs round-start fingerprint state — LAZY: its only
         # consumer is the statused write job below; the banded broadcast
         # join over the materialized routed parquet evaluates exactly once

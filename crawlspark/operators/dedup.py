@@ -118,7 +118,8 @@ def ngram_jaccard_pairs(
     # the per-doc size aggregate — without it the shingle expression tree
     # re-evaluates once per branch
     sh = _persist(df.select(
-        F.col(id_col).alias("doc"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.explode(text_shingles_udf(n)(F.col(text_col))).alias("sh"),
     ))
     if max_shingle_df is not None:
         hot = (
@@ -223,7 +224,7 @@ def minhash_lsh_pairs(
     # join; banded self-joins against itself — each would otherwise
     # re-evaluate the whole shingle/signature expression tree per branch
     base = _persist(df.select(
-        F.col(id_col).alias("doc"), text_shingles(F.col(text_col), n).alias("shs")
+        F.col(id_col).alias("doc"), text_shingles_udf(n)(F.col(text_col)).alias("shs")
     ))
     sig = minhash_signatures(base, "doc", "shs", k)
     band_structs = F.array(
@@ -456,6 +457,29 @@ from pyspark.sql.types import LongType as _LongType
 from crawlspark.functions.text import TOKEN_SPLIT_REGEX as _TOKRE
 
 _SPLIT = _re.compile(_TOKRE)
+
+
+def text_shingles_udf(n: int):
+    """Arrow pandas-UDF twin of ``text_shingles`` — identical distinct
+    word n-grams, built with Python re instead of the interpreted
+    filter/transform HOF chain (the shingle stage dominated the
+    inverted-index queries' profile). The split regex behaves identically
+    under Java and Python re on this token alphabet — the same reliance
+    the conformance-proven Arrow simhash path already makes. Texts with
+    fewer than n tokens yield an empty shingle set (the expression path
+    never handled that case — element_at(toks, 0) raises)."""
+
+    @_pandas_udf(T.ArrayType(T.StringType()))
+    def f(texts: _pd.Series) -> _pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in _SPLIT.split((t or "").lower()) if x]
+            m = len(toks) - n + 1
+            sh = [" ".join(toks[i : i + n]) for i in range(m)] if m > 0 else []
+            out.append(list(dict.fromkeys(sh)))
+        return _pd.Series(out)
+
+    return f
 
 
 @_pandas_udf(T.DoubleType())

@@ -97,12 +97,51 @@ def fetch_and_route(
     return route_verdict(joined, config)
 
 
+_PARSE_STATS_TYPE = StructType(
+    [
+        StructField("n_distinct", LongType()),
+        StructField("total", LongType()),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_PARSE_STATS_TYPE)
+def parse_stats_udf(captions: pd.Series) -> pd.DataFrame:
+    """ONE Arrow pass per fetched batch: the stopword-filtered token
+    counter yields the distinct/total word counts AND the weighted-bit
+    simhash — the counts used to ride an interpreted filter/array_distinct
+    HOF chain while the fingerprint re-tokenized the same captions in a
+    second UDF. Values are identical to the expression path: the same
+    split regex behaves the same under Java and Python re (the
+    conformance suites pin this), and simhash_counter is the shared
+    pure-Python kernel."""
+    splitter = _re.compile(X.TOKEN_SPLIT_REGEX)
+    stop = set(X.STOPWORDS)
+    nd = np.zeros(len(captions), dtype=np.int64)
+    tot = np.zeros(len(captions), dtype=np.int64)
+    sh = np.zeros(len(captions), dtype=np.int64)
+    for i, t in enumerate(captions):
+        counts: dict[str, int] = {}
+        total = 0
+        if t:
+            for tok in splitter.split(t.lower()):
+                if tok and tok not in stop:
+                    counts[tok] = counts.get(tok, 0) + 1
+                    total += 1
+        nd[i] = len(counts)
+        tot[i] = total
+        sh[i] = SH.simhash_counter(counts)
+    return pd.DataFrame({"n_distinct": nd, "total": tot, "simhash": sh})
+
+
 def route_verdict(joined: DataFrame, config: CrawlConfig) -> DataFrame:
     """The routing verdict (worker.py:89-146) over a fetched frame with
     columns (http_status, content_type, content_length, caption,
     out_links, …) — shared by the corpus fetch join above and the live
-    HTTP path (operators/httpfetch.live_fetch_and_route)."""
-    ctoks = X.content_tokens(F.col("caption"))
+    HTTP path (operators/httpfetch.live_fetch_and_route). Emits the
+    word counts AND the content fingerprint (null off the parse path)
+    from a single Arrow pass."""
     parsedable = (
         F.col("http_status").isNotNull()
         & (F.col("http_status") == 200)
@@ -120,9 +159,13 @@ def route_verdict(joined: DataFrame, config: CrawlConfig) -> DataFrame:
         .when(~F.col("content_type").contains("text/html"), "skipped_type")
         .otherwise("parse"),
     ).withColumn(
-        "n_distinct_words", F.when(parsedable, F.size(F.array_distinct(ctoks)))
+        # arg-gated: the UDF never tokenizes non-parseable captions
+        "_ps", parse_stats_udf(F.when(parsedable, F.col("caption")))
     ).withColumn(
-        "total_words", F.when(parsedable, F.size(ctoks))
+        "n_distinct_words",
+        F.when(parsedable, F.col("_ps.n_distinct")).cast("int"),
+    ).withColumn(
+        "total_words", F.when(parsedable, F.col("_ps.total")).cast("int")
     )
     # low-data verdict (distinct-count threshold) folds into the route
     routed = routed.withColumn(
@@ -133,41 +176,18 @@ def route_verdict(joined: DataFrame, config: CrawlConfig) -> DataFrame:
             "low_data",
         ).otherwise(F.col("route")),
     )
-    return routed
-
-
-@F.pandas_udf(LongType())
-def simhash_caption_udf(captions: pd.Series) -> pd.Series:
-    """Scalar Arrow twin of ``_simhash_batches`` — lets the fingerprint
-    ride the fetch/route materialization itself (one write per round
-    instead of routed0 + a second simhash-join write). Null captions
-    hash the empty counter, identical to the batch path's (t or "")."""
-    splitter = _re.compile(X.TOKEN_SPLIT_REGEX)
-    stop = set(X.STOPWORDS)
-    out = np.zeros(len(captions), dtype=np.int64)
-    for i, t in enumerate(captions):
-        counts: dict[str, int] = {}
-        if t:
-            for tok in splitter.split(t.lower()):
-                if tok and tok not in stop:
-                    counts[tok] = counts.get(tok, 0) + 1
-        out[i] = SH.simhash_counter(counts)
-    return pd.Series(out)
+    return routed.withColumn(
+        "simhash", F.when(F.col("route") == "parse", F.col("_ps.simhash"))
+    ).drop("_ps")
 
 
 def batch_simhash(parse_rows: DataFrame) -> DataFrame:
-    """(url_hash, simhash) for rows routed 'parse' (Arrow pandas UDF)."""
+    """(url_hash, simhash) for rows routed 'parse' (Arrow pandas UDF) —
+    the standalone fingerprint twin (route_verdict embeds the same
+    kernel in its fused parse-stats pass)."""
     return parse_rows.select("url_hash", "caption").mapInPandas(
         _simhash_batches, _SIMHASH_SCHEMA
     )
-
-
-def with_simhash(parse_rows: DataFrame) -> DataFrame:
-    """Attach the content fingerprint to rows routed 'parse' (Arrow UDF)."""
-    sh = parse_rows.select("url_hash", "caption").mapInPandas(
-        _simhash_batches, _SIMHASH_SCHEMA
-    )
-    return parse_rows.join(sh, "url_hash")
 
 
 def neardup_hits(
