@@ -296,6 +296,34 @@ def q_pack_token_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+QUALITY_GATE = 0.5  # keeps ~60% of the synthetic corpus — a real cut
+
+
+def q_corpus_prep(spark, sf_dir):
+    """END-TO-END training-corpus preparation in one declarative plan —
+    the composition a 100 TB pipeline actually runs, fully
+    value-hash-oracled: exact dedup (keep the lowest doc_id per md5(text)
+    group) → quality gate (rounded score ≥ QUALITY_GATE, identical
+    rounding both engines) → deterministic stratified sample by language
+    → token-budget bin packing. Catalyst fuses the dedup window, the
+    quality expressions, and the sample filter into a single shuffle per
+    window stage — no intermediate materialization anywhere."""
+    from pyspark.sql import Window as W
+
+    from crawlspark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.col("text")))
+    kept = (
+        docs.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    good = kept.filter(X.quality_score(F.col("text")) >= QUALITY_GATE)
+    sampled = SP.sample_stratified(good, "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
+    return SP.pack_token_budget(sampled, PACK_BUDGET, "lang").orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Cluster-level dedup verdict: MinHash-LSH pairs → connected
     components (min-label propagation, parquet-scratch iterations) →
@@ -808,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "pack_token_budget": q_pack_token_budget,
+        "corpus_prep": q_corpus_prep,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -895,6 +924,42 @@ def _sample_stratified_sql() -> str:
       select doc_id, lang from documents
       where ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
             < cast(round((case lang {cases} else {SAMPLE_DEFAULT} end) * 1000000) as bigint)
+      order by doc_id
+    """
+
+
+def _corpus_prep_sql() -> str:
+    """Twin of q_corpus_prep: dedup → quality gate → sample → pack as
+    one CTE chain (QUALIFY = the Spark min-over-window keep rule)."""
+    cases = " ".join(
+        f"when '{k}' then {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    ntok = f"len({TOK_SQL.format(c='text')})"
+    nstop = f"len(list_filter({TOK_SQL.format(c='text')}, t -> t in ({STOP_SQL})))"
+    return f"""
+      with kept as (
+        select doc_id, lang, text from documents
+        qualify doc_id = min(doc_id) over (partition by md5(text))
+      ), scored as (
+        select doc_id, lang, text,
+          round(0.4 * least(1.0, {ntok} / 100.0)
+            + 0.3 * (case when {ntok} > 0 then {nstop} * 1.0 / {ntok} else 0.0 end)
+            + 0.3 * (1.0 - (case when length(text) > 0
+                then length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text)
+                else 0.0 end)), 6) as quality
+        from kept
+      ), sampled as (
+        select doc_id, lang, {ntok}::BIGINT as n_tokens from scored
+        where quality >= {QUALITY_GATE}
+          and ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+              < cast(round((case lang {cases} else {SAMPLE_DEFAULT} end) * 1000000) as bigint)
+      )
+      select doc_id, lang, n_tokens,
+             cast(floor(
+               (sum(n_tokens) over (partition by lang order by doc_id
+                  rows between unbounded preceding and current row)
+                - n_tokens) / {PACK_BUDGET}.0) as bigint) as bin
+      from sampled
       order by doc_id
     """
 
@@ -1230,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "sample_stratified": _sample_stratified_sql(),
         "pack_token_budget": _pack_token_budget_sql(),
+        "corpus_prep": _corpus_prep_sql(),
         "simhash_pairs": _simhash60_sql(),
         "embedding_topk": f"""
           select query_id, neighbor_id, rank, cosine from (

@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_trained",
     "url_canonicalize",
     "sessionize",
+    "corpus_prep",
 ]
 
 
