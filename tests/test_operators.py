@@ -194,6 +194,22 @@ def test_connected_components_long_chain_converges(spark):
     assert stats["iterations"] <= 2 * math.ceil(math.log2(n))
 
 
+def test_text_shingles_udf_matches_expression(spark):
+    """The Arrow shingle twin must produce exactly the expression path's
+    distinct n-grams (it replaces it in the hot operators)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for n in (2, 3):
+        got = docs.select(
+            "doc_id", DD.text_shingles_udf(n)(F.col("text")).alias("s")
+        ).collect()
+        want = docs.select(
+            "doc_id", DD.text_shingles(F.col("text"), n).alias("s")
+        ).collect()
+        assert {r["doc_id"]: sorted(r["s"]) for r in got} == {
+            r["doc_id"]: sorted(r["s"]) for r in want
+        }
+
+
 def test_sample_stratified_deterministic_and_rates(spark):
     from crawlspark.operators import sampling as SP
 
