@@ -59,6 +59,23 @@ def test_ann_ivf_is_cell_join_not_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_corpus_prep_is_three_shuffles_no_crossjoin(spark):
+    """The end-to-end pipeline must stay one declarative plan: exactly
+    the dedup window's hash exchange, the pack window's hash exchange,
+    and the output sort's range exchange — nothing else, and never a
+    cartesian/BNLJ."""
+    import re
+
+    import __spark_entry__ as E
+
+    df = E.queries()["corpus_prep"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\bExchange\b", plan)) <= 3
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+
+
 def test_sample_stratified_is_shuffle_free_and_prunes(spark):
     """The deterministic sample is a projection + filter: no Exchange
     node at all, and the parquet scan must not read the text column."""
