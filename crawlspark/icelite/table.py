@@ -263,6 +263,23 @@ class IceliteCatalog:
         os.replace(cur_tmp, os.path.join(self.root, "_current"))
         return snap
 
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Point ``_current`` at an older RETAINED manifest (Iceberg's
+        rollback_to_snapshot). Atomic (same tmp+replace as commit); the
+        abandoned newer manifests stay on disk, so a rollback is itself
+        reversible until the next commit overwrites that snapshot id or
+        expire_snapshots drops it. Raises FileNotFoundError if the
+        manifest was expired."""
+        mrel = os.path.join("manifests", f"snapshot-{snapshot_id:06d}.json")
+        mpath = os.path.join(self.root, mrel)
+        with open(mpath) as f:
+            d = json.load(f)
+        cur_tmp = os.path.join(self.root, "_current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(mrel)
+        os.replace(cur_tmp, os.path.join(self.root, "_current"))
+        return Snapshot(d["snapshot_id"], d["parent_id"], d["tables"], d["meta"])
+
     # -- maintenance ----------------------------------------------------
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
         """Iceberg-style snapshot expiry + orphan-file removal: keep the

@@ -55,6 +55,67 @@ def test_catalog_expiry_keeps_latest_and_sweeps_orphans(spark, tmp_path):
     assert res2["expired_manifests"] == 0 and res2["removed_data_dirs"] == 0
 
 
+def test_rollback_points_current_at_retained_snapshot(spark, tmp_path):
+    import pytest
+
+    cat = IceliteCatalog(str(tmp_path / "cat"))
+    for i in range(3):
+        cat.commit({"t": spark.range(10 * (i + 1))}, meta={"i": i})
+    assert cat.latest().snapshot_id == 2
+
+    snap = cat.rollback(1)
+    assert snap.snapshot_id == 1
+    assert cat.latest().snapshot_id == 1
+    assert cat.load(spark, cat.latest(), "t").count() == 20
+
+    # diverge: the next commit takes id 2 again (the abandoned branch is
+    # overwritten) and becomes current
+    cat.commit({"t": spark.range(5)}, meta={"i": "diverged"})
+    cur = cat.latest()
+    assert cur.snapshot_id == 2 and cur.parent_id == 1
+    assert cat.load(spark, cur, "t").count() == 5
+
+    # expired targets are refused
+    cat.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        cat.rollback(0)
+
+
+def test_engine_rollback_then_rerun_reconverges(spark, tmp_path):
+    """Roll a crawl back two rounds and re-run: the deterministic engine
+    reconverges to the uninterrupted run's exact final state — the
+    time-travel/repair workflow the snapshot layer exists for."""
+    d = str(tmp_path / "corpus")
+    C.write_corpus(d, C.CorpusSpec(n_pages=36, n_domains=8, seed=13))
+    cfg = CrawlConfig(allowed_url_patterns=C.ALLOWED_PATTERNS, per_domain_quota=2)
+
+    a = CrawlEngine(spark, cfg, d, str(tmp_path / "sa"), checkpoint_interval=2)
+    a.start(resume=False)
+    a.run()
+
+    b1 = CrawlEngine(spark, cfg, d, str(tmp_path / "sb"), checkpoint_interval=2)
+    b1.start(resume=False)
+    b1.run()
+    root = b1.catalog.root
+    del b1
+
+    b2 = CrawlEngine(spark, cfg, d, str(tmp_path / "sb"), checkpoint_interval=2)
+    # roll back to the FIRST retained snapshot, then resume + re-run
+    import os as _os
+
+    mdir = _os.path.join(root, "manifests")
+    first_sid = int(sorted(_os.listdir(mdir))[0].split("-")[1].split(".")[0])
+    b2.catalog.rollback(first_sid)
+    b2.start(resume=True)
+    assert b2.round_no <= a.round_no
+    b2.run()
+
+    ea = {r["url"]: r["status"] for r in a.all_rows().select("url", "status").collect()}
+    eb = {r["url"]: r["status"] for r in b2.all_rows().select("url", "status").collect()}
+    assert ea == eb
+    assert crawl_report(a.all_rows(), a.pages) == crawl_report(b2.all_rows(), b2.pages)
+
+
 def test_resume_after_expiry_equals_uninterrupted(spark, tmp_path):
     d = str(tmp_path / "corpus")
     C.write_corpus(d, C.CorpusSpec(n_pages=36, n_domains=8, seed=13))
