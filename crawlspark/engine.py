@@ -962,13 +962,47 @@ class CrawlEngine:
                     ).distinct().collect()
                 ]
                 pages_src = self.pages.filter(F.col("pbucket").isin(touched))
-            routed_plan = FE.fetch_and_route(
-                fetch_in, pages_src, cfg, broadcast_batch=bb
+            # hits-only join (ONE pages scan); the fetchable count rides
+            # the broadcast side so the miss-recovery job below runs only
+            # when a scheduled URL actually had no corpus row
+            from pyspark.sql import Observation
+
+            obs_fetchable = Observation()
+            routed_plan = FE.fetch_hits_and_route(
+                fetch_in.observe(obs_fetchable, F.count(F.lit(1)).alias("n")),
+                pages_src, cfg, broadcast_batch=bb,
             )
         # route_verdict emits simhash + word counts from a single Arrow
         # pass over the captions, so the plan is write-ready as-is
         parse_cond = F.col("route") == "parse"
         routed = self._mat(routed_plan, "routed")
+        if cfg.extra.get("fetch_mode") != "http":
+            n_hits = fast_count(routed)
+            # obs_fetchable fires only if the join produced rows — AQE's
+            # empty-relation propagation eliminates the observed subtree
+            # when either join side is empty and .get would block forever
+            # (probed empirically). Zero hits ⇒ can't know the fetchable
+            # count cheaply ⇒ run the miss recovery unconditionally (it
+            # writes nothing when fetchable was empty too).
+            n_miss = (
+                int(obs_fetchable.get["n"]) - n_hits if n_hits > 0 else 1
+            )
+            if n_miss > 0:
+                # recover misses as 'fetch_error' rows: a tiny job over
+                # the scheduled batch anti-joined to the materialized
+                # hits — no pages scan (worker.py's download-exception
+                # path). Written column-for-column like the hits part so
+                # both dirs read back as one frame.
+                missing = fetch_in.join(
+                    routed.select("url_hash"), "url_hash", "left_anti"
+                )
+                miss_plan = FE.route_verdict(
+                    missing.select("*", *FE.null_page_cols()), cfg
+                ).select(*[F.col(c) for c in routed.columns])
+                routed_miss = self._mat(miss_plan, "routed_miss", single=True)
+                routed = self.spark.read.parquet(
+                    routed._crawlspark_path, routed_miss._crawlspark_path
+                )
         # near-dup probe vs round-start fingerprint state — LAZY: its only
         # consumer is the statused write job below; the banded broadcast
         # join over the materialized routed parquet evaluates exactly once

@@ -57,6 +57,41 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"url_hash": pdf["url_hash"], "simhash": out})
 
 
+NULL_PAGE_TYPES = [
+    ("http_status", "int"), ("redirect_to", "string"),
+    ("content_type", "string"), ("content_length", "long"),
+    ("caption", "string"), ("out_links", "array<string>"),
+]
+
+
+def null_page_cols() -> list:
+    """Typed null page columns for scheduled rows with no corpus hit
+    (the download-exception path → 'fetch_error')."""
+    return [F.lit(None).cast(t).alias(c) for c, t in NULL_PAGE_TYPES]
+
+
+def fetch_hits_and_route(
+    scheduled: DataFrame, pages: DataFrame, config: CrawlConfig,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Corpus HITS only — exactly one pages scan: the (small) scheduled
+    batch broadcasts into the corpus scan as an inner join, then the
+    routing verdict. Misses (scheduled rows with no corpus row) are NOT
+    in the output; the engine recovers them with a separate tiny job
+    against the materialized hits ONLY when the fetchable-vs-hit counts
+    (both observed on this plan's write) differ — in steady corpus
+    crawls every scheduled URL hits, so the old second pruned pages scan
+    per round (fetch_and_route's anti-join miss recovery) is skipped
+    entirely."""
+    page_cols = pages.select(
+        F.col("page_hash").alias("url_hash"),
+        F.col("status").alias("http_status"),
+        "redirect_to", "content_type", "content_length", "caption", "out_links",
+    )
+    hint = F.broadcast if broadcast_batch else (lambda df: df)
+    return route_verdict(page_cols.join(hint(scheduled), "url_hash", "inner"), config)
+
+
 def fetch_and_route(
     scheduled: DataFrame, pages: DataFrame, config: CrawlConfig,
     broadcast_batch: bool = True,
@@ -85,15 +120,7 @@ def fetch_and_route(
     missing = scheduled.join(
         hint(fetched.select("url_hash")), "url_hash", "left_anti"
     )
-    null_page = [
-        F.lit(None).cast(t).alias(c)
-        for c, t in [
-            ("http_status", "int"), ("redirect_to", "string"),
-            ("content_type", "string"), ("content_length", "long"),
-            ("caption", "string"), ("out_links", "array<string>"),
-        ]
-    ]
-    joined = fetched.unionByName(missing.select("*", *null_page))
+    joined = fetched.unionByName(missing.select("*", *null_page_cols()))
     return route_verdict(joined, config)
 
 

@@ -67,6 +67,22 @@ def test_fetch_join_broadcast_guard_plans(spark):
     assert "BroadcastExchange" not in guarded  # past the budget: no forced bc
 
 
+def test_fetch_hits_join_broadcast_guard_plans(spark):
+    """The engine's hits-only fetch join (ONE pages scan) carries the
+    same scale guard as the full miss-recovering variant."""
+    pages, sched = _fixtures(spark)
+    cfg = CrawlConfig()
+
+    def plans():
+        forced = _plan(FE.fetch_hits_and_route(sched, pages, cfg, broadcast_batch=True))
+        guarded = _plan(FE.fetch_hits_and_route(sched, pages, cfg, broadcast_batch=False))
+        return forced, guarded
+
+    forced, guarded = _with_conf(spark, _no_auto_broadcast(spark), plans)
+    assert "BroadcastExchange" in forced
+    assert "BroadcastExchange" not in guarded
+
+
 def test_neardup_probe_broadcast_guard_plans(spark):
     batch = spark.range(50).select(
         F.col("id").alias("url_hash"), F.xxhash64("id").alias("simhash")
