@@ -187,11 +187,42 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
     )
     stats = {}
-    rows = DD.connected_components(pairs, stats=stats).collect()
+    # small_graph_threshold=0 forces the distributed pointer-doubling
+    # loop (the default size gate would solve 126 edges on the driver)
+    rows = DD.connected_components(
+        pairs, stats=stats, small_graph_threshold=0
+    ).collect()
     assert {r["comp"] for r in rows} == {1}
     assert len(rows) == n
     assert stats["converged"]
+    assert stats["mode"] == "distributed"
     assert stats["iterations"] <= 2 * math.ceil(math.log2(n))
+
+
+def test_connected_components_driver_vs_distributed(spark):
+    """The size-gated driver union-find path must produce exactly the
+    distributed loop's labels on an adversarial mixed graph (chains,
+    a cycle, duplicate + reversed edges, a self-loop, singleton)."""
+    edges = (
+        [(i, i + 1) for i in range(1, 10)]  # chain 1..10
+        + [(20, 21), (22, 21), (23, 22), (21, 23)]  # cycle w/ reversals
+        + [(30, 30), (40, 41), (41, 40), (40, 41)]  # self-loop + dups
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    s_drv, s_dst = {}, {}
+    drv = {
+        r["v"]: r["comp"]
+        for r in DD.connected_components(pairs, stats=s_drv).collect()
+    }
+    dst = {
+        r["v"]: r["comp"]
+        for r in DD.connected_components(
+            pairs, stats=s_dst, small_graph_threshold=0
+        ).collect()
+    }
+    assert s_drv["mode"] == "driver" and s_dst["mode"] == "distributed"
+    assert drv == dst
+    assert drv[30] == 30 and drv[41] == 40 and drv[23] == 20
 
 
 def test_text_shingles_udf_matches_expression(spark):
