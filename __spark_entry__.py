@@ -637,6 +637,73 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/joins.py): every click event gets
+    the most recent purchase value at-or-before its timestamp per user —
+    the reference's per-domain last_request_time state lookup
+    (crawler/frontier.py:97-106) generalized to a point-in-time join.
+    Single-shuffle union+window plan; oracle is DuckDB's native
+    ASOF LEFT JOIN over the identically pre-aggregated right side."""
+    from crawlspark.operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_purchase"))
+    )
+    return (
+        J.asof_join(clicks, purchases, on="user_id", value_cols=["last_purchase"])
+        .select("event_id", "user_id", "ts", "last_purchase")
+        .orderBy("event_id")
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Interval join via time-bucketed equi-join (operators/joins.py):
+    click→purchase pairs of the same user within the following hour.
+    The bucket trick keeps it a hash join — the naive BETWEEN-only plan
+    is a per-key cross join (BNLJ at web scale). Exact bound check runs
+    in integer microseconds; the oracle computes the naive inequality
+    join, which must produce the identical pair set."""
+    from crawlspark.operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = J.range_join(clicks, purchases, on="user_id", window_sec=3600.0)
+    return out.select(
+        "click_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        "user_id",
+        (
+            F.unix_micros(F.col("r_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("click_id", "purchase_id")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 terms per document by tf-idf (operators/textstats.py) —
+    corpus-level term scoring on the same token stream as the
+    reference's word-count reports (missing scraper.count_words,
+    contract tests/scraper_test.py:21-27). Scores are rounded before
+    ranking on BOTH engines so ulp-level ln() differences can't flip
+    ranks."""
+    from crawlspark.operators import textstats as TS
+
+    return TS.tfidf_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3
+    ).orderBy("doc_id", "rk")
+
+
 _SESS_STREAM_SEQ = [0]
 
 
@@ -850,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "tfidf_topk": q_tfidf_topk,
         "sessionize_stream": q_sessionize_stream,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
@@ -1348,6 +1418,47 @@ def oracle_sql() -> dict[str, str]:
                    or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1 else 0 end as new_s
             from events window w as (partition by user_id order by ts, event_id))
           group by user_id order by user_id
+        """,
+        "asof_join": """
+          with p as (
+            select user_id, ts, arg_max(value, event_id) as last_purchase
+            from events where event_type = 'purchase' group by 1, 2
+          ), c as (
+            select event_id, user_id, ts from events where event_type = 'click'
+          )
+          select c.event_id, c.user_id, c.ts, p.last_purchase
+          from c asof left join p on c.user_id = p.user_id and c.ts >= p.ts
+          order by c.event_id
+        """,
+        "range_join": """
+          select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+          from events c join events p on c.user_id = p.user_id
+          where c.event_type = 'click' and p.event_type = 'purchase'
+            and p.ts >= c.ts
+            and epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+          order by click_id, purchase_id
+        """,
+        "tfidf_topk": f"""
+          with tok as (
+            select doc_id, unnest({TOK_SQL.format(c='text')}) as term from documents
+          ), tf as (
+            select doc_id, term, count(*) as tf from tok group by 1, 2
+          ), dfx as (
+            select term, count(*) as df from tf group by 1
+          ), n as (
+            select count(distinct doc_id) as n from documents
+          )
+          select doc_id, term, score,
+                 row_number() over (partition by doc_id
+                                    order by score desc, term) as rk
+          from (
+            select tf.doc_id, tf.term,
+                   round(tf.tf * ln(n.n / dfx.df), 6) as score
+            from tf join dfx on tf.term = dfx.term cross join n
+          )
+          qualify rk <= 3
+          order by doc_id, rk
         """,
         # the stateful-streaming twin converges to the identical answer
         "sessionize_stream": """
