@@ -690,6 +690,39 @@ def q_range_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Multi-level OLAP rollup over the corpus dimensions: per-(lang,
+    source), per-lang subtotal, and grand total in ONE aggregation pass
+    (Spark expands grouping sets map-side — no per-level rescan).
+    Rolled-up positions are projected to '*' on both engines so the
+    sort and the value hash see identical sentinels."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("*")).alias("lang"),
+            F.coalesce("source", F.lit("*")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_event_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of event value per type
+    (Spark `percentile` == DuckDB `quantile_cont`), rounded to 6 on both
+    engines. The quantile ladder is the standard latency/quality-score
+    analytics surface over the crawl telemetry tables."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.percentile("value", p), 6).alias(f"p{int(p * 100)}")
+        for p in (0.25, 0.5, 0.9, 0.99)
+    ]
+    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 terms per document by tf-idf (operators/textstats.py) —
     corpus-level term scoring on the same token stream as the
@@ -920,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topk": q_tfidf_topk,
+        "corpus_rollup": q_corpus_rollup,
+        "event_percentiles": q_event_percentiles,
         "sessionize_stream": q_sessionize_stream,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
@@ -1438,6 +1473,20 @@ def oracle_sql() -> dict[str, str]:
             and p.ts >= c.ts
             and epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
           order by click_id, purchase_id
+        """,
+        "corpus_rollup": """
+          select coalesce(lang, '*') as lang, coalesce(source, '*') as source,
+                 count(*) as n_docs, sum(n_chars)::BIGINT as sum_chars
+          from documents group by rollup (lang, source)
+          order by lang, source
+        """,
+        "event_percentiles": """
+          select event_type,
+                 round(quantile_cont(value, 0.25), 6) as p25,
+                 round(quantile_cont(value, 0.50), 6) as p50,
+                 round(quantile_cont(value, 0.90), 6) as p90,
+                 round(quantile_cont(value, 0.99), 6) as p99
+          from events group by event_type order by event_type
         """,
         "tfidf_topk": f"""
           with tok as (

@@ -54,6 +54,9 @@ HEADLINE_QUERIES = [
     "ann_ivf_trained",
     "url_canonicalize",
     "sessionize",
+    "asof_join",
+    "range_join",
+    "tfidf_topk",
     "corpus_prep",
 ]
 
