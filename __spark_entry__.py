@@ -794,6 +794,57 @@ def q_sessionize_stream(spark, sf_dir):
     )
 
 
+def q_windowed_events_stream(spark, sf_dir):
+    """STREAMING twin of `windowed_events`: the same rows replayed as two
+    time-ordered parquet micro-batches through the watermarked
+    tumbling-window aggregate (crawlspark.streaming.ingest
+    windowed_events_stream). Drained with complete-mode memory sink
+    (availableNow can't advance the watermark past the final windows in
+    append mode), so the converged table must equal the batch answer —
+    it shares windowed_events' oracle SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from crawlspark.streaming.ingest import windowed_events_stream
+
+    # withWatermark rejects TIMESTAMP_NTZ; the session runs UTC so the
+    # cast is value-identity and the drained rows still hash-match the
+    # NTZ batch twin
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    lo = ev.orderBy("ts", "event_id").limit(int(ev.count() // 2))
+    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="winev_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, part in enumerate((lo, hi)):
+        stage = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    _SESS_STREAM_SEQ[0] += 1
+    qname = f"winev_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).orderBy("hour", "event_type")
+
+
 def q_status_routing(spark, sf_dir):
     """when/otherwise status router (F9 analog) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -956,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "sessionize_stream": q_sessionize_stream,
+        "windowed_events_stream": q_windowed_events_stream,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
         "trap_filter": q_trap_filter,
@@ -1441,6 +1493,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "windowed_events": """
+          select date_trunc('hour', ts) as hour, event_type,
+                 count(*) as n_events,
+                 (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value
+          from events group by 1, 2 order by hour, event_type
+        """,
+        # the watermarked streaming twin drains to the identical table
+        "windowed_events_stream": """
           select date_trunc('hour', ts) as hour, event_type,
                  count(*) as n_events,
                  (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value

@@ -69,6 +69,36 @@ def seed_ingest_stream(
     )
 
 
+def windowed_events_stream(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window event aggregate (streaming frame in,
+    streaming frame out): per (window, event_type) row counts and an
+    exact decimal value sum — the streaming twin of the batch
+    ``windowed_events`` query, so the drained result is value-comparable
+    to its DuckDB oracle. The decimal(18,6) sum is order- and
+    retrigger-independent, which is what makes a cross-engine hash match
+    possible for a streaming aggregate."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_dur), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def crawl_telemetry_stream(
     spark: SparkSession,
     completed_delta_dir: str,
