@@ -29,6 +29,9 @@ QUERIES = [
     "dedup_clusters",
     "embedding_neardup_lsh",
     "ann_ivf_topk",
+    "asof_join",
+    "range_join",
+    "tfidf_topk",
 ]
 
 
