@@ -14,7 +14,14 @@ checkpoint/resume contract is implemented directly:
 - maintenance = ``expire_snapshots(keep_last=N)``: drops all older
   manifests and sweeps catalog-owned data dirs no surviving manifest
   references (Iceberg's expire_snapshots + remove_orphan_files) — at
-  10^10 rows the un-GC'd compaction history is otherwise a storage leak.
+  10^10 rows the un-GC'd compaction history is otherwise a storage leak;
+- schema evolution = each table's manifest entry records the committed
+  Spark schema; ``load`` pins the read to the SNAPSHOT's schema, so
+  files written before an add-column surface the new column as null and
+  files written before a drop-column have it projected away — Iceberg's
+  add/drop semantics without a mergeSchema footer sweep. Commits verify
+  the new schema against the parent's (surviving columns keep their
+  type; only additive/drop changes pass).
 
 On a cluster with a real Iceberg catalog the engine's state tables bind
 to ``spark.read.format('iceberg')`` instead — this module is deliberately
@@ -103,6 +110,29 @@ class Snapshot:
         )
 
 
+class SchemaEvolutionError(ValueError):
+    """A commit changed an existing column's type (or other
+    non-additive, non-drop schema change) — the files already in the
+    snapshot lineage could no longer be read under the new schema."""
+
+
+def check_schema_evolution(old: dict, new: dict) -> None:
+    """Validate that ``new`` (Spark StructType.jsonValue dict) is a legal
+    evolution of ``old``: every column present in both keeps its exact
+    type; columns may be added or dropped. Raises SchemaEvolutionError
+    otherwise. (Iceberg additionally allows a few widenings — int→long,
+    float→double — but Spark's vectorized parquet reader does not
+    reliably upcast on read, so icelite keeps the strict subset.)"""
+    old_fields = {f["name"]: f["type"] for f in old.get("fields", [])}
+    for f in new.get("fields", []):
+        t = old_fields.get(f["name"])
+        if t is not None and t != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r} changed type {t!r} -> {f['type']!r}; "
+                "only add/drop evolutions are readable over existing files"
+            )
+
+
 class IceliteCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -128,7 +158,16 @@ class IceliteCatalog:
         # rows == 0 means empty only when every footer was readable
         if not paths or (info["rows"] == 0 and not info.get("rows_unknown")):
             return None
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if info.get("schema") is not None:
+            # pin the read to the SNAPSHOT's schema (schema evolution):
+            # files predating an add-column fill it with nulls, files
+            # predating a drop-column have it projected away — and no
+            # mergeSchema footer sweep runs at scan planning
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(info["schema"]))
+        return reader.parquet(*paths)
 
     def prune_files(
         self, snapshot: Snapshot, name: str, col: str, lo, hi
@@ -165,6 +204,7 @@ class IceliteCatalog:
         meta: dict[str, Any],
         partition_by: dict[str, list[str]] | None = None,
         file_annotators: dict[str, Any] | None = None,
+        schemas: dict[str, Any] | None = None,
     ) -> Snapshot:
         """A table value may be a DataFrame (written into the snapshot dir)
         or a list of existing parquet dirs (append-only tables committed BY
@@ -176,10 +216,38 @@ class IceliteCatalog:
         data files are written and scanned, before the manifest is
         written — they may add extra per-file stats fields (e.g. the
         heads scheduler's ``tail_rows``). Entries' ``file`` values are
-        catalog-relative at this point."""
+        catalog-relative at this point.
+
+        Schema evolution: DataFrame tables record ``df.schema`` in the
+        manifest; by-reference tables record the StructType passed in
+        ``schemas`` (else they inherit the parent snapshot's recorded
+        schema — an append never silently changes the read schema). Any
+        recorded schema is validated against the parent's via
+        ``check_schema_evolution`` (add/drop only) BEFORE data is
+        written, so an illegal evolution aborts with the previous
+        snapshot intact."""
         parent = self.latest()
         sid = (parent.snapshot_id + 1) if parent else 0
         tables: dict[str, dict[str, Any]] = {}
+
+        # resolve + validate every table's schema BEFORE any data write
+        table_schemas: dict[str, dict | None] = {}
+        for name, df in dfs.items():
+            sch = (schemas or {}).get(name)
+            if sch is not None and hasattr(sch, "jsonValue"):
+                sch = sch.jsonValue()
+            if sch is None and isinstance(df, DataFrame):
+                sch = df.schema.jsonValue()
+            prev_sch = (
+                parent.tables.get(name, {}).get("schema")
+                if parent is not None
+                else None
+            )
+            if sch is None:
+                sch = prev_sch  # appends inherit the read schema
+            elif prev_sch is not None:
+                check_schema_evolution(prev_sch, sch)
+            table_schemas[name] = sch
 
         def _scan(path: str) -> list[dict[str, Any]]:
             """Per-partition (per-data-file) lineage metrics via the
@@ -224,6 +292,8 @@ class IceliteCatalog:
                     "paths": rels, "rows": rows, "files": files,
                     "lineage": _lineage(name, files),
                 }
+                if table_schemas.get(name) is not None:
+                    tables[name]["schema"] = table_schemas[name]
                 if unknown:
                     tables[name]["rows_unknown"] = unknown
                 continue
@@ -247,6 +317,8 @@ class IceliteCatalog:
                 "path": rel, "rows": rows, "files": files,
                 "lineage": _lineage(name, files),
             }
+            if table_schemas.get(name) is not None:
+                tables[name]["schema"] = table_schemas[name]
             if unknown:
                 tables[name]["rows_unknown"] = unknown
         snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
