@@ -845,6 +845,52 @@ def q_windowed_events_stream(spark, sf_dir):
     return spark.table(qname).orderBy("hour", "event_type")
 
 
+def q_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC broadcast enrichment join: events replayed as two
+    parquet micro-batches, inner-joined per batch to the static customer
+    dimension (explicitly broadcast — the 1000-executor-correct plan for
+    a small dim) in APPEND mode — stream-static joins need no watermark
+    or state store, so this drains exactly once per input row. Oracle is
+    the plain batch join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lo = ev.orderBy("event_id").limit(int(ev.count() // 2))
+    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="enrich_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, part in enumerate((lo, hi)):
+        stage = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    _SESS_STREAM_SEQ[0] += 1
+    qname = f"enrich_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).orderBy("event_id")
+
+
 def q_status_routing(spark, sf_dir):
     """when/otherwise status router (F9 analog) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -1008,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": q_event_percentiles,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
+        "stream_enrich": q_stream_enrich,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
         "trap_filter": q_trap_filter,
@@ -1497,6 +1544,12 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n_events,
                  (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value
           from events group by 1, 2 order by hour, event_type
+        """,
+        # stream-static join drains append-mode to the plain batch join
+        "stream_enrich": """
+          select e.event_id, e.user_id, e.event_type, c.c_mktsegment
+          from events e join customer c on e.user_id = c.c_custkey
+          order by e.event_id
         """,
         # the watermarked streaming twin drains to the identical table
         "windowed_events_stream": """
