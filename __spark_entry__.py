@@ -526,6 +526,66 @@ def _synth_pages(spark, sf_dir, n=100, w=16, h=16):
     return docs.mapInPandas(gen, schema)
 
 
+def _synth_pages_with_dups(spark, sf_dir, n=200, w=16, h=16):
+    """_synth_pages plus PLANTED image near-dups: every doc_id ≡ 1
+    (mod 4) re-encodes the PREVIOUS doc's pixels with a one-pixel
+    perturbation — a true perceptual near-duplicate (phash Hamming ≈ 0-2)
+    under a different image_id, the shape image-dedup must catch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark.functions import images as I
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(n)
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ["raw", "ppm", "bmp", "png", "jpeg_sim", "jpeg"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fmt = fmts[did % len(fmts)]
+                if did % 4 == 1:
+                    px = I.pixels_for_id(f"doc{did - 1}", w, h).copy()
+                    px[0, 0, 0] = min(int(px[0, 0, 0]) + 4, 255)
+                else:
+                    px = I.pixels_for_id(f"doc{did}", w, h)
+                rows.append((f"doc{did}", I.encode_image(px, fmt), w, h, fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return docs.mapInPandas(gen, schema)
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash: decode → 64-bit
+    average-hash (Arrow pass, operators/payload.compute_phash) → banded
+    Hamming LSH self-join (functions/simhash.lsh_similar_pairs — one
+    shuffle on (band_id, band_val), recall pigeonhole-EXACT for
+    Hamming ≤ 3). The input corpus has planted perceptual near-dups
+    under distinct image_ids. Rows-only (pixel decode has no SQL twin);
+    pinned by a brute-force-equivalence pytest gate."""
+    from crawlspark.functions.simhash import lsh_similar_pairs
+    from crawlspark.operators import payload as P
+
+    pages = _synth_pages_with_dups(spark, sf_dir, n=200)
+    ph = P.compute_phash(pages)
+    return lsh_similar_pairs(ph, "image_id", "phash_computed", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_payload_resize(spark, sf_dir):
     """Multimodal transform: decode → nearest-neighbor resize → rehash
     (Arrow mapInPandas; no SQL oracle — rows-only check)."""
@@ -1042,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "payload_phash": q_payload_phash,
+        "phash_neardup": q_phash_neardup,
         "payload_resize": q_payload_resize,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,

@@ -122,3 +122,39 @@ def test_audio_features_exact(spark):
     assert r["rms"] == want_rms
     assert r["zero_crossings"] == want_zc
     assert r["peak"] == int(np.abs(f64).max())
+
+
+def test_phash_neardup_matches_brute_force(spark):
+    """The banded phash LSH pairs must equal the O(n^2) cross-join truth
+    at Hamming <= 3 (recall is pigeonhole-exact with 4 bands), and the
+    planted perceptual near-dups (doc_id % 4 == 1 re-encodes its
+    predecessor's pixels) must actually be caught."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+    from crawlspark.functions.simhash import hamming64
+    from crawlspark.operators import payload as P
+
+    pages = E._synth_pages_with_dups(spark, "/root/testdata/sf0.001", n=120)
+    ph = P.compute_phash(pages).persist()
+    ph.count()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in E.q_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+        if int(r["id_a"][3:]) < 120 and int(r["id_b"][3:]) < 120
+    }
+    a = ph.select(F.col("image_id").alias("id_a"), F.col("phash_computed").alias("pa"))
+    b = ph.select(F.col("image_id").alias("id_b"), F.col("phash_computed").alias("pb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("pa"), F.col("pb")) <= 3)
+        .collect()
+    }
+    ph.unpersist()
+    assert got == truth
+    planted = {(f"doc{k}", f"doc{k + 1}") for k in range(0, 119, 4)}
+    found_planted = planted & truth
+    # the one-pixel perturbation keeps most planted pairs within Hamming 3
+    assert len(found_planted) >= len(planted) * 0.8
