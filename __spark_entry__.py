@@ -783,6 +783,26 @@ def q_event_percentiles(spark, sf_dir):
     return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot (long→wide) aggregation: per-day event counts, one column
+    per event type. Pivot values are pinned explicitly — at scale the
+    implicit variant costs a distinct-values pre-scan and makes the
+    output schema data-dependent. Missing cells coalesce to 0 to match
+    the oracle's COUNT(*) FILTER columns."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 terms per document by tf-idf (operators/textstats.py) —
     corpus-level term scoring on the same token stream as the
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
+        "event_pivot": q_event_pivot,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
@@ -1652,6 +1673,15 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n_docs, sum(n_chars)::BIGINT as sum_chars
           from documents group by rollup (lang, source)
           order by lang, source
+        """,
+        "event_pivot": """
+          select ts::DATE as day,
+                 count(*) filter (event_type = 'click')    as click,
+                 count(*) filter (event_type = 'error')    as error,
+                 count(*) filter (event_type = 'purchase') as purchase,
+                 count(*) filter (event_type = 'signup')   as signup,
+                 count(*) filter (event_type = 'view')     as view
+          from events group by 1 order by day
         """,
         "event_percentiles": """
           select event_type,
