@@ -630,8 +630,22 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
-            s, d = row["src"], row["dst"]
+        # the edges parquet was just written to local scratch — read it
+        # back with pyarrow (two flat columns) instead of materializing
+        # O(edges) Spark Row objects on the driver; fall back to collect
+        # if the path isn't locally readable (remote scratch)
+        try:
+            import pyarrow.parquet as _pqt
+
+            _tbl = _pqt.read_table(ep, columns=["src", "dst"])
+            edge_iter = zip(
+                _tbl.column("src").to_pylist(), _tbl.column("dst").to_pylist()
+            )
+        except Exception:
+            edge_iter = (
+                (row["src"], row["dst"]) for row in edges.collect()
+            )
+        for s, d in edge_iter:
             if s not in parent:
                 parent[s] = s
             if d not in parent:
