@@ -783,6 +783,36 @@ def q_event_percentiles(spark, sf_dir):
     return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+# ONE query text, two engines: the SQL entry path (spark.sql over temp
+# views) is part of the engine's surface — this TPC-H-Q5-shaped 4-table
+# join runs VERBATIM on Spark SQL and DuckDB (shared CAST/decimal
+# dialect), so the oracle twin is literally the same string. Revenue is
+# an exact decimal sum cast to double at the end (order-independent).
+REVENUE_BY_NATION_SQL = """
+  SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+              AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+  FROM customer
+  JOIN orders   ON c_custkey  = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+  ORDER BY revenue DESC, n_name
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """SQL-surface twin check: the 4-table revenue rollup submitted as
+    RAW SQL via spark.sql (Catalyst join reordering + broadcast picks
+    the physical plan — nation/customer are the small sides). The DuckDB
+    oracle runs the byte-identical statement."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(REVENUE_BY_NATION_SQL)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1134,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
+        "revenue_by_nation": q_revenue_by_nation,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
@@ -1674,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
           from documents group by rollup (lang, source)
           order by lang, source
         """,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "event_pivot": """
           select ts::DATE as day,
                  count(*) filter (event_type = 'click')    as click,
