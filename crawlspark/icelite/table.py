@@ -352,6 +352,37 @@ class IceliteCatalog:
         os.replace(cur_tmp, os.path.join(self.root, "_current"))
         return Snapshot(d["snapshot_id"], d["parent_id"], d["tables"], d["meta"])
 
+    def lineage_df(
+        self, spark: SparkSession, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """The snapshot's per-partition lineage AS A DATAFRAME — one row
+        per (table, data file) with rows/bytes/added-in-this-commit plus
+        the snapshot ids, queryable like any other table (the north-rule
+        'per-partition lineage + metrics' surface, read side). Built from
+        manifest JSON only — no data-file scan, no Spark job until the
+        caller acts on it."""
+        snap = snapshot or self.latest()
+        rows = []
+        for tname, info in (snap.tables if snap else {}).items():
+            added = set((info.get("lineage") or {}).get("added", []))
+            for f in info.get("files", []):
+                rows.append(
+                    (
+                        snap.snapshot_id,
+                        snap.parent_id,
+                        tname,
+                        f["file"],
+                        f.get("rows"),
+                        f.get("bytes"),
+                        f["file"] in added,
+                    )
+                )
+        schema = (
+            "snapshot_id long, parent_id long, table string, file string, "
+            "rows long, bytes long, added boolean"
+        )
+        return spark.createDataFrame(rows, schema)
+
     # -- maintenance ----------------------------------------------------
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
         """Iceberg-style snapshot expiry + orphan-file removal: keep the

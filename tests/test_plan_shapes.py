@@ -97,3 +97,15 @@ def test_pack_token_budget_single_partitioned_window(spark):
     plan = _plan(SP.pack_token_budget(docs, 512, "lang"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_revenue_by_nation_sql_broadcasts_dims(spark):
+    """The raw-SQL 4-table rollup must resolve to broadcast hash joins
+    (nation/customer/orders are the small sides at any SF where they fit
+    the broadcast budget) — no sort-merge cascade, no BNLJ."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_revenue_by_nation(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
