@@ -750,6 +750,25 @@ def q_range_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull props.k out of the JSON string
+    column per row (Spark get_json_object path expression == DuckDB
+    json_extract_string), then an aggregate over the extracted value so
+    both the scalar extraction and its downstream use are value-checked."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Multi-level OLAP rollup over the corpus dimensions: per-(lang,
     source), per-lang subtotal, and grand total in ONE aggregation pass
@@ -1165,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
         "revenue_by_nation": q_revenue_by_nation,
+        "json_extract": q_json_extract,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
@@ -1706,6 +1726,12 @@ def oracle_sql() -> dict[str, str]:
           order by lang, source
         """,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "json_extract": """
+          select event_type, count(*) as n,
+                 sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) as sum_k,
+                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) as max_k
+          from events group by event_type order by event_type
+        """,
         "event_pivot": """
           select ts::DATE as day,
                  count(*) filter (event_type = 'click')    as click,
