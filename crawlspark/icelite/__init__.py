@@ -1,3 +1,15 @@
-from crawlspark.icelite.table import IceliteCatalog, Snapshot, scan_parquet_stats
+from crawlspark.icelite.table import (
+    IceliteCatalog,
+    SchemaEvolutionError,
+    Snapshot,
+    check_schema_evolution,
+    scan_parquet_stats,
+)
 
-__all__ = ["IceliteCatalog", "Snapshot", "scan_parquet_stats"]
+__all__ = [
+    "IceliteCatalog",
+    "SchemaEvolutionError",
+    "Snapshot",
+    "check_schema_evolution",
+    "scan_parquet_stats",
+]
