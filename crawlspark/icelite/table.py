@@ -116,20 +116,26 @@ class SchemaEvolutionError(ValueError):
     snapshot lineage could no longer be read under the new schema."""
 
 
+# Iceberg's legal primitive promotions — Spark 4's vectorized parquet
+# reader upcasts these on read when the scan schema is wider than the
+# file schema (probed: int32 files read under long/double schemas).
+_WIDENINGS = {("integer", "long"), ("float", "double")}
+
+
 def check_schema_evolution(old: dict, new: dict) -> None:
     """Validate that ``new`` (Spark StructType.jsonValue dict) is a legal
     evolution of ``old``: every column present in both keeps its exact
-    type; columns may be added or dropped. Raises SchemaEvolutionError
-    otherwise. (Iceberg additionally allows a few widenings — int→long,
-    float→double — but Spark's vectorized parquet reader does not
-    reliably upcast on read, so icelite keeps the strict subset.)"""
+    type or widens along Iceberg's promotion lattice (int→long,
+    float→double); columns may be added or dropped. Raises
+    SchemaEvolutionError otherwise."""
     old_fields = {f["name"]: f["type"] for f in old.get("fields", [])}
     for f in new.get("fields", []):
         t = old_fields.get(f["name"])
-        if t is not None and t != f["type"]:
+        if t is not None and t != f["type"] and (t, f["type"]) not in _WIDENINGS:
             raise SchemaEvolutionError(
                 f"column {f['name']!r} changed type {t!r} -> {f['type']!r}; "
-                "only add/drop evolutions are readable over existing files"
+                "only add/drop and int->long / float->double widenings are "
+                "readable over existing files"
             )
 
 

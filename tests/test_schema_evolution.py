@@ -108,3 +108,34 @@ def test_lineage_df_reports_per_file_rows_and_added_flags(spark, tmp_path):
     assert by_added == {True, False}
     assert all(("/p2/" in r["file"]) == r["added"] for r in rows)
     assert all(r["snapshot_id"] == snap.snapshot_id for r in rows)
+
+
+def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    """Iceberg's legal promotions: existing int32/float32 files read back
+    correctly under the widened snapshot schema."""
+    cat = IceliteCatalog(str(tmp_path / "cat"))
+    narrow = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("x", T.FloatType()),
+        ]
+    )
+    wide = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    d1 = str(tmp_path / "p1")
+    spark.createDataFrame([(7, 1.5)], narrow).write.parquet(d1)
+    cat.commit({"t": [d1]}, meta={}, schemas={"t": narrow})
+    cat.commit({"t": [d1]}, meta={}, schemas={"t": wide})
+    df = cat.load(spark, cat.latest(), "t")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "double"]
+    row = df.collect()[0]
+    assert row["a"] == 7 and abs(row["x"] - 1.5) < 1e-9
+    # narrowing back is NOT legal
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaEvolutionError):
+        cat.commit({"t": [d1]}, meta={}, schemas={"t": narrow})
