@@ -750,6 +750,24 @@ def q_range_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO / SCD latest-wins resolution (operators/merge.py) —
+    the engine's frontier merge-on-read pattern as a standalone
+    warehouse op: a derived update stream (every third order re-statused
+    at version 2) wins over the base; resolution is one window per key,
+    never a base rewrite."""
+    from crawlspark.operators import merge as M
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = o.select(
+        "o_orderkey", F.lit(1).alias("v"), F.col("o_orderstatus").alias("status")
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(2).alias("v"), F.lit("U").alias("status")
+    )
+    return M.merge_upsert(base, upd, ["o_orderkey"], "v").orderBy("o_orderkey")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull props.k out of the JSON string
     column per row (Spark get_json_object path expression == DuckDB
@@ -1185,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "revenue_by_nation": q_revenue_by_nation,
         "json_extract": q_json_extract,
+        "merge_upsert": q_merge_upsert,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
@@ -1726,6 +1745,19 @@ def oracle_sql() -> dict[str, str]:
           order by lang, source
         """,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "merge_upsert": """
+          with all_rows as (
+            select o_orderkey, 1 as v, o_orderstatus as status from orders
+            union all
+            select o_orderkey, 2 as v, 'U' as status from orders
+            where o_orderkey % 3 = 0
+          )
+          select o_orderkey, v, status from (
+            select *, row_number() over (partition by o_orderkey
+                                         order by v desc) as rn
+            from all_rows)
+          where rn = 1 order by o_orderkey
+        """,
         "json_extract": """
           select event_type, count(*) as n,
                  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) as sum_k,
