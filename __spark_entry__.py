@@ -750,6 +750,25 @@ def q_range_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketch aggregate next to its exact twin: per event_type,
+    approx_count_distinct(user_id) (rsd 2%) and the true countDistinct.
+    At 100 TB the sketch is the only affordable distinct over
+    high-cardinality keys (mergeable, one pass, fixed memory); the exact
+    column exists so the error is visible and gateable. Rows-only for
+    the driver (DuckDB's approx_count_distinct is a different estimator);
+    pytest pins relative error ≤ 5% per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO / SCD latest-wins resolution (operators/merge.py) —
     the engine's frontier merge-on-read pattern as a standalone
@@ -1204,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "json_extract": q_json_extract,
         "merge_upsert": q_merge_upsert,
+        "approx_distinct": q_approx_distinct,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,

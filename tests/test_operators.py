@@ -272,3 +272,14 @@ def test_pack_token_budget_bins(spark):
     assert all(r["n_tokens"] == 40 for r in rows.values())
     # running starts 0,40,80,120,... → bins 0,0,0,1,1,2,2,2,3,3
     assert [rows[i]["bin"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_approx_distinct_within_rsd(spark):
+    """The HLL++ sketch column must sit within 5% of its exact twin for
+    every group (rsd=0.02 → 5% is a comfortable bound)."""
+    import __spark_entry__ as E
+
+    rows = E.q_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
