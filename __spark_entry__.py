@@ -947,6 +947,9 @@ def q_sessionize_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    # memory-sink rows live in the driver — the parquet staging and the
+    # stream checkpoint are dead weight once the drain finishes
+    shutil.rmtree(work, ignore_errors=True)
     updates = spark.table(qname)
     # final state per user = the update with the (monotonic) max n_events
     from pyspark.sql import Window
@@ -1008,6 +1011,7 @@ def q_windowed_events_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(qname).orderBy("hour", "event_type")
 
 
@@ -1054,6 +1058,7 @@ def q_stream_enrich(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(qname).orderBy("event_id")
 
 
