@@ -283,3 +283,27 @@ def test_approx_distinct_within_rsd(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
+
+
+def test_merge_upsert_latest_wins_and_tiebreak(spark):
+    from crawlspark.operators import merge as M
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], ["k", "v", "s"]
+    )
+    upd = spark.createDataFrame(
+        [(1, 2, "a2"), (3, 1, "c")], ["k", "v", "s"]
+    )
+    out = {
+        r["k"]: (r["v"], r["s"])
+        for r in M.merge_upsert(base, upd, ["k"], "v").collect()
+    }
+    # update wins on key 1, untouched base survives, new key inserts
+    assert out == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
+
+    # version collision: the tiebreak column decides deterministically
+    clash = spark.createDataFrame(
+        [(9, 5, "low"), (9, 5, "zzz")], ["k", "v", "s"]
+    )
+    got = M.latest_wins(clash, ["k"], "v", tiebreak="s").collect()
+    assert len(got) == 1 and got[0]["s"] == "zzz"
