@@ -750,6 +750,30 @@ def q_range_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_cumulative_spend(spark, sf_dir):
+    """Running-total window (rows unbounded-preceding → current): per
+    user's purchase stream ordered by (ts, event_id), the cumulative
+    value. The accumulator is decimal(18,6) so the running sum is exact
+    and order-independent across engines (a double accumulator would be
+    bit-order-sensitive)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_value"),
+    ).orderBy("event_id")
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ sketch aggregate next to its exact twin: per event_type,
     approx_count_distinct(user_id) (rsd 2%) and the true countDistinct.
@@ -1229,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "merge_upsert": q_merge_upsert,
         "approx_distinct": q_approx_distinct,
+        "cumulative_spend": q_cumulative_spend,
         "sessionize_stream": q_sessionize_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
@@ -1770,6 +1795,15 @@ def oracle_sql() -> dict[str, str]:
           order by lang, source
         """,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "cumulative_spend": """
+          select event_id, user_id,
+                 (sum(value::DECIMAL(18,6)) over (
+                    partition by user_id order by ts, event_id
+                    rows between unbounded preceding and current row
+                 ))::DOUBLE as cum_value
+          from events where event_type = 'purchase'
+          order by event_id
+        """,
         "merge_upsert": """
           with all_rows as (
             select o_orderkey, 1 as v, o_orderstatus as status from orders
