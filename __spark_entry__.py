@@ -927,6 +927,81 @@ def q_tfidf_topk(spark, sf_dir):
     ).orderBy("doc_id", "rk")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/textstats.py:decontaminate):
+    docs with doc_id % 97 == 0 act as the held-out eval set; every other
+    doc is scanned for distinct word 5-gram overlap with it. The bench
+    shingle-hash set is broadcast (bounded by construction), so the
+    100 TB train side joins map-side with zero shuffle. The planted
+    near-dup families in the synthetic corpus guarantee real hits."""
+    from crawlspark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return TS.decontaminate(train, bench, "doc_id", "text", n=5)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document
+    (operators/textstats.py:repetition_stats): token count,
+    distinct-token fraction, top-word fraction, top-bigram fraction.
+    Bigrams come from a lead() window over posexplode — native codegen,
+    no interpreted array HOF in the hot path."""
+    from crawlspark.operators import textstats as TS
+
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_scrub(spark, sf_dir):
+    """Corpus cleaning rewrite (operators/textstats.py:scrub_stopwords):
+    stopword-scrubbed text + removed-token count per doc. Map-only — the
+    shape of a 100 TB corpus rewrite (read, transform, write; no
+    exchange except the presentation sort)."""
+    from crawlspark.operators import textstats as TS
+
+    return TS.scrub_stopwords(_t(spark, sf_dir, "documents"))
+
+
+def q_source_dup_stats(spark, sf_dir):
+    """Per-source duplication rollup
+    (operators/textstats.py:source_dup_stats): n_docs, distinct-text
+    count via md5 hash, dup fraction, mean length — the crawl-budget
+    policy signal. Single group-by with one count-distinct over the
+    text hash."""
+    from crawlspark.operators import textstats as TS
+
+    return TS.source_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch next to its exact twin: per event_type,
+    percentile_approx(value, {0.5, 0.9, 0.99}, accuracy 10k) beside the
+    exact interpolated percentile. At 100 TB the sketch is the only
+    one-pass fixed-memory quantile (KLL/GK-style, mergeable across
+    partitions); the exact columns make the error visible and gateable.
+    Rows-only for the driver (DuckDB's approx estimator differs);
+    pytest pins sketch-vs-exact error per group."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    apx = F.percentile_approx("value", pcts, F.lit(10000))
+    exact = F.percentile("value", pcts)
+    return (
+        ev.groupBy("event_type")
+        .agg(apx.alias("apx"), exact.alias("exact"))
+        .select(
+            "event_type",
+            F.col("apx")[0].alias("p50_apx"),
+            F.col("apx")[1].alias("p90_apx"),
+            F.col("apx")[2].alias("p99_apx"),
+            F.round(F.col("exact")[0], 6).alias("p50_exact"),
+            F.round(F.col("exact")[1], 6).alias("p90_exact"),
+            F.round(F.col("exact")[2], 6).alias("p99_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SESS_STREAM_SEQ = [0]
 
 
@@ -1246,6 +1321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topk": q_tfidf_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "text_scrub": q_text_scrub,
+        "source_dup_stats": q_source_dup_stats,
+        "approx_quantiles": q_approx_quantiles,
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
@@ -1583,6 +1663,12 @@ def oracle_sql() -> dict[str, str]:
         "for i in range(1, greatest(len(l)-2, 0)+1)]) "
         f"from (select {TOK_SQL.format(c='text')} as l) _)"
     )
+    shingles5 = (
+        "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "|| ' ' || l[i+3] || ' ' || l[i+4] "
+        "for i in range(1, greatest(len(l)-4, 0)+1)]) "
+        f"from (select {TOK_SQL.format(c='text')} as l) _)"
+    )
     return {
         "pricing_summary": """
           select l_returnflag, l_linestatus,
@@ -1860,6 +1946,70 @@ def oracle_sql() -> dict[str, str]:
           )
           qualify rk <= 3
           order by doc_id, rk
+        """,
+        # shared 60-bit shingle hash → identical collisions on both engines
+        "decontaminate": f"""
+          with sh0 as (select doc_id, {shingles5} as shs from documents),
+          ex as (
+            select doc_id, len(shs)::BIGINT as n_shingles,
+                   ('0x'||substr(md5(sh),1,15))::BIGINT as h
+            from (select doc_id, shs, unnest(shs) as sh from sh0) _
+          ),
+          bench as (select distinct h from ex where doc_id % 97 = 0)
+          select e.doc_id, e.n_shingles, count(*) as n_hit,
+                 round(count(*) * 1.0 / e.n_shingles, 6) as hit_frac
+          from ex e join bench b on e.h = b.h
+          where e.doc_id % 97 <> 0
+          group by e.doc_id, e.n_shingles
+          having count(*) >= 1
+          order by doc_id
+        """,
+        "repetition_stats": f"""
+          with t as (select doc_id, {TOK_SQL.format(c='text')} as l from documents),
+          wc as (
+            select doc_id, term, count(*) as c
+            from (select doc_id, unnest(l) as term from t) _ group by 1, 2
+          ),
+          a1 as (
+            select doc_id, sum(c)::BIGINT as n_tokens,
+                   count(*)::BIGINT as n_distinct, max(c)::BIGINT as top_word
+            from wc group by 1
+          ),
+          bc as (
+            select doc_id, bigram, count(*) as c
+            from (
+              select doc_id,
+                     unnest([l[i] || ' ' || l[i+1]
+                             for i in range(1, greatest(len(l)-1, 0)+1)]) as bigram
+              from t
+            ) _ group by 1, 2
+          ),
+          a2 as (select doc_id, max(c)::BIGINT as top_bigram from bc group by 1)
+          select a1.doc_id, n_tokens,
+                 round(n_distinct * 1.0 / n_tokens, 6) as distinct_frac,
+                 round(top_word * 1.0 / n_tokens, 6) as top_word_frac,
+                 round(coalesce(top_bigram, 0) * 1.0
+                       / greatest(n_tokens - 1, 1), 6) as top_bigram_frac
+          from a1 left join a2 on a1.doc_id = a2.doc_id
+          order by a1.doc_id
+        """,
+        "text_scrub": f"""
+          with t as (select doc_id, {TOK_SQL.format(c='text')} as l from documents),
+          k as (
+            select doc_id, l,
+                   list_filter(l, x -> x not in ({STOP_SQL})) as kl
+            from t
+          )
+          select doc_id, array_to_string(kl, ' ') as clean_text,
+                 (len(l) - len(kl))::BIGINT as n_removed
+          from k order by doc_id
+        """,
+        "source_dup_stats": """
+          select source, count(*) as n_docs,
+                 count(distinct md5(text))::BIGINT as n_unique,
+                 round(1.0 - count(distinct md5(text)) * 1.0 / count(*), 6) as dup_frac,
+                 round(avg(n_chars), 6) as avg_chars
+          from documents group by source order by source
         """,
         # the stateful-streaming twin converges to the identical answer
         "sessionize_stream": """

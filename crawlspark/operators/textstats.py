@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawlspark.functions.text import tokens
+from crawlspark.functions.text import STOPWORD_SETS, md5_int60, tokens
 
 
 def tfidf_topk(
@@ -54,4 +54,174 @@ def tfidf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "score", "rk")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    ``n``-gram shingles with a benchmark/eval set (the standard pre-train
+    hygiene pass — e.g. GPT-3's 13-gram and Llama's n-gram overlap scans).
+
+    Returns (doc_id, n_shingles, n_hit, hit_frac) for every train doc
+    with at least ``min_overlap`` distinct shingles present anywhere in
+    the benchmark, ordered by doc_id.
+
+    Scale shape: the benchmark side is bounded by construction (eval
+    suites are millions of shingles at most, never corpus-sized), so its
+    distinct 60-bit shingle hashes are force-broadcast and the 100 TB
+    train side streams past map-side — zero shuffle for the join; the
+    only exchange is the per-doc hit count, whose input is already
+    filtered to contaminated (doc, shingle) rows. Shingling runs in the
+    Arrow ``text_shingles_udf`` batch kernel; the join key is the shared
+    ``md5_int60`` hash so the DuckDB twin sees identical collisions.
+    """
+    from crawlspark.operators.dedup import text_shingles_udf
+
+    sh = text_shingles_udf(n)
+    bench_h = (
+        bench.select(F.explode(sh(F.col(text_col))).alias("sh"))
+        .select(md5_int60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    ex = train.select(
+        F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("shs")
+    ).select(
+        "doc_id",
+        F.size("shs").alias("n_shingles"),
+        F.explode("shs").alias("sh"),
+    ).select("doc_id", "n_shingles", md5_int60(F.col("sh")).alias("h"))
+    return (
+        ex.join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") >= min_overlap)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("hit_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: per document the
+    token count, distinct-token fraction, most-frequent-word fraction and
+    most-frequent-bigram fraction (the classic low-quality/template
+    detectors — a doc whose top bigram covers 20% of its text is
+    boilerplate, not prose).
+
+    Returns (doc_id, n_tokens, distinct_frac, top_word_frac,
+    top_bigram_frac) ordered by doc_id; documents with zero tokens are
+    dropped (no signal). All stages are native codegen: one posexplode,
+    a lead() window for bigrams (no interpreted array HOF in the hot
+    path), and hash aggregations keyed on doc_id — every exchange
+    carries per-doc partials, never the raw token stream twice.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col)))
+    ).toDF("doc_id", "pos", "term")
+    word_agg = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "term", F.lead("term").over(w)).alias("bigram"),
+        F.lead("term").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bigram_agg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"))
+    )
+    return (
+        word_agg.join(bigram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_frac"
+            ),
+            F.round(F.col("top_word") / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bigram"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def scrub_stopwords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: str = "default",
+) -> DataFrame:
+    """Corpus transformation: re-emit each document with stopwords
+    removed and whitespace normalized (the cleaning pass a training
+    pipeline writes back out, not just a statistic).
+
+    Returns (doc_id, clean_text, n_removed) ordered by doc_id. Pure
+    per-row column expressions — no shuffle at all except the final
+    presentation sort; at 100 TB this is a map-only rewrite of the
+    corpus."""
+    sw = F.array(*[F.lit(w) for w in STOPWORD_SETS[stopwords]])
+    toks = tokens(F.col(text_col))
+    kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+def source_dup_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source duplication + size rollup: the crawl-policy signal
+    ("which feeds are mostly mirrors?") that decides where a large crawl
+    spends its budget. Returns (source, n_docs, n_unique, dup_frac,
+    avg_chars) ordered by source. One aggregation on the group key with a
+    single count-distinct over the 128-bit text hash (never the text
+    itself) — the distinct's expand shuffles hashes, not documents."""
+    return (
+        docs.groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias(
+                "dup_frac"
+            ),
+            "avg_chars",
+        )
+        .orderBy("source")
     )
