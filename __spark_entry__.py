@@ -974,6 +974,36 @@ def q_source_dup_stats(spark, sf_dir):
     return TS.source_dup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_image_gate(spark, sf_dir):
+    """Image+caption admission gate
+    (operators/multimodal.py:image_quality_gate) over the north-rule
+    corpus shape (w, h, fmt, caption): resolution ≥ 128px/side, aspect
+    ≤ 3, caption ≥ 5 tokens. The (w, h, fmt) metadata is synthesized
+    deterministically from doc_id with the same expression on both
+    engines (the pattern the URL queries use), so the gate gets a full
+    value-hash oracle; the binary-payload variants of the gate live in
+    the rows-only payload queries."""
+    from crawlspark.operators.multimodal import image_quality_gate
+
+    d = F.col("doc_id")
+    meta = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (64 + (d * 37) % 1983).cast("int").alias("w"),
+        (64 + (d * 61) % 1201).cast("int").alias("h"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("jpeg", "jpeg", "jpeg", "png", "webp", "gif", "bmp")]),
+            (d % 7 + 1).cast("int"),
+        ).alias("fmt"),
+        F.col("text").alias("caption"),
+    )
+    return (
+        image_quality_gate(meta)
+        .select("doc_id", "fmt", "w", "h", "aspect", "mpx", "n_caption_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q_approx_quantiles(spark, sf_dir):
     """Mergeable quantile sketch next to its exact twin: per event_type,
     percentile_approx(value, {0.5, 0.9, 0.99}, accuracy 10k) beside the
@@ -1326,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "source_dup_stats": q_source_dup_stats,
         "approx_quantiles": q_approx_quantiles,
+        "image_gate": q_image_gate,
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
@@ -2003,6 +2034,28 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, array_to_string(kl, ' ') as clean_text,
                  (len(l) - len(kl))::BIGINT as n_removed
           from k order by doc_id
+        """,
+        "image_gate": f"""
+          with m as (
+            select doc_id,
+                   (64 + (doc_id * 37) % 1983)::INT as w,
+                   (64 + (doc_id * 61) % 1201)::INT as h,
+                   case (doc_id % 7)
+                     when 3 then 'png' when 4 then 'webp'
+                     when 5 then 'gif' when 6 then 'bmp'
+                     else 'jpeg' end as fmt,
+                   len({TOK_SQL.format(c='text')})::INT as n_caption_tokens
+            from documents
+          )
+          select doc_id, fmt, w, h,
+                 round(greatest(w, h) * 1.0 / least(w, h), 6) as aspect,
+                 round(w * h / 1000000.0, 6) as mpx,
+                 n_caption_tokens
+          from m
+          where w >= 128 and h >= 128
+            and round(greatest(w, h) * 1.0 / least(w, h), 6) <= 3.0
+            and n_caption_tokens >= 5
+          order by doc_id
         """,
         "source_dup_stats": """
           select source, count(*) as n_docs,

@@ -262,3 +262,46 @@ def audio_features(audio: DataFrame, fmt_col: str = "fmt") -> DataFrame:
             )
 
     return audio.select("audio_id", "bytes", fmt_col).mapInPandas(gen, _AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image+caption admission gate (metadata-level, pure Catalyst expressions)
+# ---------------------------------------------------------------------------
+
+def image_quality_gate(
+    df: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    caption_col: str = "caption",
+    min_side: int = 128,
+    max_aspect: float = 3.0,
+    min_caption_tokens: int = 5,
+) -> DataFrame:
+    """LAION-style admission gate over the typed image metadata of the
+    input_hint's (image_id, bytes, w, h, fmt, caption, …) corpus: keep
+    rows whose resolution, aspect ratio, and caption length clear the
+    training-set thresholds. Adds aspect (round 6), mpx (megapixels,
+    round 6) and n_caption_tokens columns.
+
+    Everything here is a per-row column expression on metadata — the
+    gate prunes BEFORE any byte decode, so at 100 TB it cuts the corpus
+    down while the binary column is never even read (column pruning
+    keeps `bytes` out of the scan for the admission decision)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.functions.text import token_count
+
+    w, h = F.col(w_col), F.col(h_col)
+    aspect = F.round(F.greatest(w, h) * F.lit(1.0) / F.least(w, h), 6)
+    mpx = F.round(w * h / F.lit(1000000.0), 6)
+    out = (
+        df.withColumn("aspect", aspect)
+        .withColumn("mpx", mpx)
+        .withColumn("n_caption_tokens", token_count(F.col(caption_col)))
+    )
+    return out.filter(
+        (w >= min_side)
+        & (h >= min_side)
+        & (F.col("aspect") <= max_aspect)
+        & (F.col("n_caption_tokens") >= min_caption_tokens)
+    )

@@ -113,3 +113,22 @@ def test_approx_quantiles_rank_error(spark):
             apx = r[col]
             rank = sum(1 for x in xs if x <= apx) / n
             assert abs(rank - q) <= 0.02, (r["event_type"], q, apx, rank)
+
+
+def test_image_quality_gate_boundaries(spark):
+    from crawlspark.operators.multimodal import image_quality_gate
+
+    cap = "five words of caption text"
+    rows = [
+        (1, 128, 128, cap),        # exactly at min side → kept
+        (2, 127, 500, cap),        # one px short → dropped
+        (3, 384, 128, cap),        # aspect exactly 3.0 → kept
+        (4, 385, 128, cap),        # aspect just over 3 → dropped
+        (5, 200, 200, "too short"),  # 2-token caption → dropped
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h", "caption"])
+    out = {r["image_id"]: r for r in image_quality_gate(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["aspect"] == 3.0
+    assert out[1]["mpx"] == round(128 * 128 / 1e6, 6)
+    assert out[1]["n_caption_tokens"] == 5
