@@ -1004,6 +1004,41 @@ def q_image_gate(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (operators/linkgraph.py) as the frontier's global
+    priority signal — the link graph is synthesized deterministically
+    from doc_id with the same integer expressions on both engines
+    (src -> (doc_id*k) % max_id + 1 for k in {17, 31}, plus a reversed
+    generator), so the 4-iteration fixed-point gets a full value-hash
+    oracle against DuckDB's unrolled CTE chain."""
+    from crawlspark.operators.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    base = docs.crossJoin(F.broadcast(mx))
+    d, m = F.col("doc_id"), F.col("mx")
+    e = (
+        base.select(d.alias("src"), ((d * 17) % m + 1).alias("dst"))
+        .unionAll(base.select(d.alias("src"), ((d * 31) % m + 1).alias("dst")))
+        .unionAll(base.select(((d * 13) % m + 1).alias("src"), d.alias("dst")))
+    )
+    return pagerank(e, n_iter=4).orderBy("id")
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive revisit scheduling (operators/schedule.py:
+    recrawl_priority): per page (user_id as the page key, events as the
+    fetch history, value as the content fingerprint), the observed
+    change rate and the derived next revisit interval."""
+    from crawlspark.operators.schedule import recrawl_priority
+
+    ev = _t(spark, sf_dir, "events")
+    return recrawl_priority(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        order_col="event_id",
+    ).orderBy("user_id")
+
+
 def q_approx_quantiles(spark, sf_dir):
     """Mergeable quantile sketch next to its exact twin: per event_type,
     percentile_approx(value, {0.5, 0.9, 0.99}, accuracy 10k) beside the
@@ -1357,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_stats": q_source_dup_stats,
         "approx_quantiles": q_approx_quantiles,
         "image_gate": q_image_gate,
+        "pagerank": q_pagerank,
+        "recrawl_schedule": q_recrawl_schedule,
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
@@ -1685,6 +1722,41 @@ _LANG_SCORE = {
 
 
 def oracle_sql() -> dict[str, str]:
+    # pagerank: unrolled 4-iteration CTE chain mirroring
+    # operators/linkgraph.py — round(rank, 12) per iteration on both
+    # engines makes the per-edge contributions bitwise identical; the
+    # final round(6) absorbs residual summation-order differences.
+    pr_iters = ["r0 as (select id, round(1.0 / (select n from nn), 12) as rank from nodes)"]
+    for i in range(1, 5):
+        pr_iters.append(f"""r{i} as (
+          select n2.id,
+                 round(0.15::DOUBLE / (select n from nn)
+                       + 0.85::DOUBLE * coalesce(c.mass, 0.0::DOUBLE), 12) as rank
+          from nodes n2 left join (
+            select e.dst as dst, sum(r.rank / d.outdeg) as mass
+            from r{i - 1} r
+            join deg d on d.src = r.id
+            join e on e.src = r.id
+            group by e.dst
+          ) c on c.dst = n2.id
+        )""")
+    pr_sql = f"""
+      with m as (select max(doc_id) as mx from documents),
+      e0 as (
+        select doc_id as src, (doc_id * 17) % (select mx from m) + 1 as dst
+        from documents
+        union all
+        select doc_id, (doc_id * 31) % (select mx from m) + 1 from documents
+        union all
+        select (doc_id * 13) % (select mx from m) + 1, doc_id from documents
+      ),
+      e as (select distinct src, dst from e0),
+      nodes as (select src as id from e union select dst as id from e),
+      nn as (select count(*) as n from nodes),
+      deg as (select src, count(*)::DOUBLE as outdeg from e group by src),
+      {', '.join(pr_iters)}
+      select id, round(rank, 6) as rank from r4 order by id
+    """
     fp_list = (
         "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
         "i -> ('0x'||substr(md5(substr(t, i::INT, 8)),1,15))::BIGINT))"
@@ -2056,6 +2128,29 @@ def oracle_sql() -> dict[str, str]:
             and round(greatest(w, h) * 1.0 / least(w, h), 6) <= 3.0
             and n_caption_tokens >= 5
           order by doc_id
+        """,
+        "pagerank": pr_sql,
+        "recrawl_schedule": """
+          with h as (
+            select user_id, value,
+                   lag(value) over (partition by user_id
+                                    order by ts, event_id) as prev
+            from events
+          ), a as (
+            select user_id, count(*)::BIGINT as n_fetches,
+                   sum(case when prev is not null and value <> prev
+                            then 1 else 0 end)::BIGINT as n_changes
+            from h group by user_id
+          )
+          select user_id, n_fetches, n_changes,
+                 round(coalesce(n_changes * 1.0 / nullif(n_fetches - 1, 0),
+                                0.0), 6) as change_rate,
+                 round(24.0::DOUBLE /
+                       (0.05::DOUBLE +
+                        round(coalesce(n_changes * 1.0 /
+                                       nullif(n_fetches - 1, 0), 0.0), 6)),
+                       4) as next_interval_hours
+          from a order by user_id
         """,
         "source_dup_stats": """
           select source, count(*) as n_docs,

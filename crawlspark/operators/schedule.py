@@ -163,3 +163,66 @@ def select_head_files(
             run_key, run_rows = k_hi, int(e.get("tail_rows") or 0)
         prev_hi = k_hi
     return kept, pruned
+
+
+# ---------------------------------------------------------------------------
+# adaptive recrawl scheduling (change-rate-driven revisit intervals)
+# ---------------------------------------------------------------------------
+
+def recrawl_priority(
+    history: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "content_hash",
+    order_col: str | None = None,
+    base_interval_hours: float = 24.0,
+    smoothing: float = 0.05,
+) -> DataFrame:
+    """Adaptive revisit scheduling over a fetch-history table: per page,
+    estimate the observed change rate (fraction of refetches whose
+    ``value_col`` differed from the previous fetch) and derive the next
+    revisit interval ``base / (smoothing + change_rate)`` — frequently
+    changing pages are revisited often, static ones back off toward
+    ``base/smoothing``. This is the freshness-driven priority the
+    reference's FIFO frontier lacks (crawler/frontier.py:34-58 treats
+    every URL as equally urgent forever).
+
+    One lag window per key + one aggregation — at 10^10 URLs this is a
+    single shuffle on the page key, and the output (one row per page)
+    is exactly the priority column a frontier merge-upsert consumes.
+
+    Returns (key, n_fetches, n_changes, change_rate, next_interval_hours)
+    with change_rate rounded to 6 and the interval to 4 decimals.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    changed = F.when(prev.isNotNull() & (F.col(value_col) != prev), 1).otherwise(0)
+    agg = (
+        history.withColumn("_chg", changed)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+    )
+    rate = F.round(
+        F.coalesce(
+            F.col("n_changes") * F.lit(1.0)
+            / F.nullif(F.col("n_fetches") - F.lit(1), F.lit(0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return agg.select(
+        key_col,
+        "n_fetches",
+        "n_changes",
+        rate.alias("change_rate"),
+        F.round(
+            F.lit(float(base_interval_hours)) / (F.lit(float(smoothing)) + rate),
+            4,
+        ).alias("next_interval_hours"),
+    )
