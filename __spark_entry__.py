@@ -1025,6 +1025,27 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e, n_iter=4).orderBy("id")
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (z-order) key used by the layout rewriter
+    (operators/layout.py:zorder_key): interleave two 8-bit bucket ids
+    derived deterministically from events columns; oracled against a
+    DuckDB bit-arithmetic twin built from the same shift/mask spec."""
+    from crawlspark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    bx = F.col("user_id").cast("long") % 256
+    by = (F.col("event_id").cast("long") * 7) % 256
+    return (
+        ev.select(
+            "event_id",
+            bx.alias("bx"),
+            by.alias("by"),
+            zorder_key([bx, by], bits=8).alias("zkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Adaptive revisit scheduling (operators/schedule.py:
     recrawl_priority): per page (user_id as the page key, events as the
@@ -1394,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gate": q_image_gate,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
+        "zorder_key": q_zorder_key,
         "corpus_rollup": q_corpus_rollup,
         "event_percentiles": q_event_percentiles,
         "event_pivot": q_event_pivot,
@@ -1756,6 +1778,23 @@ def oracle_sql() -> dict[str, str]:
       deg as (select src, count(*)::DOUBLE as outdeg from e group by src),
       {', '.join(pr_iters)}
       select id, round(rank, 6) as rank from r4 order by id
+    """
+    # zorder_key: same shift/mask interleave spec as
+    # operators/layout.py:zorder_key (bit b of column i -> b*k + i)
+    z_terms = " | ".join(
+        f"(((b{ax} >> {b}) & 1) << {2 * b + i})"
+        for b in range(8)
+        for i, ax in enumerate(("x", "y"))
+    )
+    zorder_sql = f"""
+      with m as (
+        select event_id,
+               user_id::BIGINT % 256 as bx,
+               (event_id::BIGINT * 7) % 256 as by
+        from events
+      )
+      select event_id, bx, by, ({z_terms})::BIGINT as zkey
+      from m order by event_id
     """
     fp_list = (
         "list_min(list_transform(range(1, greatest(length(t)-7, 1)+1), "
@@ -2130,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
           order by doc_id
         """,
         "pagerank": pr_sql,
+        "zorder_key": zorder_sql,
         "recrawl_schedule": """
           with h as (
             select user_id, value,

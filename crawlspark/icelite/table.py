@@ -43,10 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 STATS_COLS = ("discovery_seq", "registered_domain", "host", "url_hash", "depth")
 
 
-def scan_parquet_stats(path: str) -> list[dict[str, Any]]:
+def scan_parquet_stats(
+    path: str, cols: tuple[str, ...] | None = None
+) -> list[dict[str, Any]]:
     """Per-data-file lineage metrics for every parquet file under
     ``path``: bytes from the filesystem, rows + column bounds from the
-    parquet footer — no Spark job. ``file`` is ABSOLUTE here; callers
+    parquet footer — no Spark job. ``cols`` overrides the default
+    STATS_COLS bounds surface (e.g. z-ordered tables record bounds for
+    their clustering columns). ``file`` is ABSOLUTE here; callers
     that store entries in a manifest relativize it. rows is None when
     the footer can't be read (never a sentinel that could be summed)."""
     import pyarrow.parquet as _pq
@@ -64,7 +68,7 @@ def scan_parquet_stats(path: str) -> list[dict[str, Any]]:
                 names = {
                     md.schema.column(i).name: i for i in range(md.num_columns)
                 }
-                for col in STATS_COLS:
+                for col in (cols if cols is not None else STATS_COLS):
                     ci = names.get(col)
                     if ci is None:
                         continue
@@ -211,6 +215,7 @@ class IceliteCatalog:
         partition_by: dict[str, list[str]] | None = None,
         file_annotators: dict[str, Any] | None = None,
         schemas: dict[str, Any] | None = None,
+        stats_cols: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         """A table value may be a DataFrame (written into the snapshot dir)
         or a list of existing parquet dirs (append-only tables committed BY
@@ -255,13 +260,15 @@ class IceliteCatalog:
                 check_schema_evolution(prev_sch, sch)
             table_schemas[name] = sch
 
-        def _scan(path: str) -> list[dict[str, Any]]:
+        def _scan(path: str, name: str) -> list[dict[str, Any]]:
             """Per-partition (per-data-file) lineage metrics via the
             module-level ``scan_parquet_stats``, relativized to the
             catalog root — the manifest's north_rule surface: every data
             file a snapshot references carries its own row/byte/bounds
-            accounting."""
-            entries = scan_parquet_stats(path)
+            accounting. ``stats_cols[name]`` extends the default bounds
+            surface with the table's clustering columns."""
+            extra = tuple((stats_cols or {}).get(name) or ())
+            entries = scan_parquet_stats(path, STATS_COLS + extra)
             for e in entries:
                 e["file"] = os.path.relpath(e["file"], self.root)
             return entries
@@ -292,7 +299,7 @@ class IceliteCatalog:
         for name, df in dfs.items():
             if isinstance(df, list):
                 rels = [os.path.relpath(p, self.root) for p in df]
-                files = [f for p in df for f in _scan(p)]
+                files = [f for p in df for f in _scan(p, name)]
                 rows, unknown = _rows_total(files)
                 tables[name] = {
                     "paths": rels, "rows": rows, "files": files,
@@ -314,7 +321,7 @@ class IceliteCatalog:
                 if pby:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
-                files = _scan(path)
+                files = _scan(path, name)
                 ann = (file_annotators or {}).get(name)
                 if ann is not None and files:
                     ann(path, files)
