@@ -58,6 +58,9 @@ HEADLINE_QUERIES = [
     "range_join",
     "tfidf_topk",
     "corpus_prep",
+    "image_gate",
+    "pagerank",
+    "recrawl_schedule",
 ]
 
 

@@ -32,6 +32,9 @@ QUERIES = [
     "asof_join",
     "range_join",
     "tfidf_topk",
+    "pagerank",
+    "image_gate",
+    "recrawl_schedule",
 ]
 
 
