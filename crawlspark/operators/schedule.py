@@ -26,11 +26,21 @@ SALT_BUCKETS = 8  # phase-1 salt fan-out for hot registered domains
 def schedule_round(
     pending: DataFrame, quota_per_domain: int = 1,
     key_col: str = "registered_domain",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Pick the next micro-batch: K lowest-seq pending URLs per politeness
     key (``key_col``: registered_domain, or host for netloc politeness —
     the reference keys its queues on netloc, frontier.py:42). Returns the
     scheduled rows (all frontier columns).
+
+    ``order_col`` (opt-in) overrides pure FIFO: rows are ranked by
+    (order_col asc, discovery_seq asc) within each politeness key, so a
+    frontier that carries a priority column — negated PageRank mass
+    (operators/linkgraph.py) or a recrawl due-time
+    (recrawl_priority) merged in via merge_upsert — schedules its most
+    urgent URLs first while the per-domain quota and deterministic
+    tie-break are unchanged. Default (None) preserves the reference's
+    FIFO ordering exactly.
 
     Two-phase top-K: (1) map-side partial — per shuffle partition keep at
     most K rows per domain via a partition-local window after a
@@ -38,6 +48,24 @@ def schedule_round(
     aggregation for min(), so we implement phase 1 as a min-seq semi-filter
     when K == 1 (the common case), falling back to one exact window.
     """
+    if order_col is not None:
+        # priority scheduling: salted two-phase exact top-K under the
+        # composite order (same skew math as the K>1 FIFO path — phase 1
+        # can never drop a row that is in its domain's true top-K)
+        order = [F.col(order_col).asc(), F.col("discovery_seq").asc()]
+        salt = F.pmod(F.col("url_hash"), F.lit(SALT_BUCKETS))
+        w1 = Window.partitionBy(key_col, salt).orderBy(*order)
+        survivors = (
+            pending.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= quota_per_domain)
+            .drop("_rn1")
+        )
+        w2 = Window.partitionBy(key_col).orderBy(*order)
+        return (
+            survivors.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= quota_per_domain)
+            .drop("_rn")
+        )
     if quota_per_domain == 1:
         # K=1: per-domain min(seq) is a hash aggregate (map-side partial →
         # tiny shuffle), then a semi-join back — no full-frontier window.

@@ -94,3 +94,29 @@ def test_recrawl_priority_semantics(spark):
     assert out["b"]["change_rate"] == 0.0
     assert out["b"]["next_interval_hours"] == 480.0  # 24 / 0.05
     assert out["c"]["n_changes"] == 0 and out["c"]["change_rate"] == 0.0
+
+
+def test_schedule_round_priority_order(spark):
+    from crawlspark.operators.schedule import schedule_round
+
+    rows = [
+        # (domain, seq, url_hash, priority) — d1: seq order says a,b,c but
+        # priority says c first; d2 ties on priority -> seq breaks it
+        ("d1", 10, 1, 5.0), ("d1", 11, 2, 3.0), ("d1", 12, 3, 1.0),
+        ("d2", 20, 4, 2.0), ("d2", 21, 5, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "registered_domain string, discovery_seq long, "
+              "url_hash long, prio double")
+
+    fifo = schedule_round(df, 1)
+    assert {(r["registered_domain"], r["discovery_seq"]) for r in fifo.collect()} \
+        == {("d1", 10), ("d2", 20)}
+
+    pri = schedule_round(df, 1, order_col="prio")
+    assert {(r["registered_domain"], r["discovery_seq"]) for r in pri.collect()} \
+        == {("d1", 12), ("d2", 20)}
+
+    pri2 = schedule_round(df, 2, order_col="prio")
+    assert {(r["registered_domain"], r["discovery_seq"]) for r in pri2.collect()} \
+        == {("d1", 12), ("d1", 11), ("d2", 20), ("d2", 21)}
