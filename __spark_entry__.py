@@ -1333,6 +1333,140 @@ def q_robots_gate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# icelite time-travel / changelog fixture: a real two-commit catalog built
+# once per (process, sf_dir) in tempfile scratch, removed at interpreter exit
+# (same lifecycle pattern as dedup.connected_components scratch)
+# --------------------------------------------------------------------------
+
+_TT_SCRATCH: list[str] = []
+_TT_CATALOGS: dict[str, str] = {}
+
+
+def _tt_cleanup() -> None:
+    import shutil
+
+    while _TT_SCRATCH:
+        shutil.rmtree(_TT_SCRATCH.pop(), ignore_errors=True)
+
+
+def _tt_catalog(spark, sf_dir):
+    """Two-commit icelite catalog over orders: snapshot 0 lands the
+    ``o_orderkey % 3 <> 0`` delta, snapshot 1 APPENDS the remaining rows
+    BY REFERENCE (manifest lists the new files; nothing rewritten) —
+    the fixture behind the time_travel and snapshot_changelog queries."""
+    import atexit
+    import os
+    import tempfile
+
+    from crawlspark.icelite import IceliteCatalog
+
+    root = _TT_CATALOGS.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_current")):
+        return IceliteCatalog(root)
+    if not _TT_SCRATCH:
+        atexit.register(_tt_cleanup)
+    root = tempfile.mkdtemp(prefix="crawlspark_tt_")
+    _TT_SCRATCH.append(root)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d0 = os.path.join(root, "delta0")
+    d1 = os.path.join(root, "delta1")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d0)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d1)
+    cat = IceliteCatalog(root)
+    cat.commit({"orders_tt": [d0]}, {"round": 0})
+    cat.commit({"orders_tt": [d0, d1]}, {"round": 1})
+    _TT_CATALOGS[sf_dir] = root
+    return cat
+
+
+def q_time_travel(spark, sf_dir):
+    """Iceberg-semantics TIME TRAVEL (read VERSION AS OF): after a second
+    append commit has moved ``_current`` on, reading snapshot 0 through
+    ``IceliteCatalog.snapshot()`` must still see exactly the first
+    delta's rows — the manifest names the files, so an old snapshot is a
+    plain parquet scan of its own file list, never a diff or an undo.
+    Oracle: the first delta's predicate re-stated in SQL.
+
+    REFERENCE — the reference crawler's only historical state is the
+    periodic full pickle (crawler/frontier.py:243-254, one mutable
+    shelve); snapshot-addressable reads are the Iceberg-layer upgrade
+    the north_rule asks for."""
+    cat = _tt_catalog(spark, sf_dir)
+    assert cat.latest().snapshot_id == 1
+    return cat.load(spark, cat.snapshot(0), "orders_tt").orderBy("o_orderkey")
+
+
+def q_snapshot_changelog(spark, sf_dir):
+    """Iceberg-semantics CHANGELOG / incremental append scan (CDC read):
+    the rows ADDED between snapshot 0 and snapshot 1 = the data files
+    snapshot 1 lists that snapshot 0 does not — planned from manifest
+    JSON alone and reading O(appended data), not O(table). Rewritten
+    (non-append) histories raise, matching Iceberg's incremental-scan
+    restriction (gated in tests/test_time_travel.py). Oracle: the second
+    delta's predicate in SQL."""
+    cat = _tt_catalog(spark, sf_dir)
+    return cat.changelog(spark, cat.snapshot(0), cat.snapshot(1), "orders_tt").orderBy(
+        "o_orderkey"
+    )
+
+
+def _xmodal_corpus(spark, sf_dir):
+    """North-rule-shaped image+caption corpus (image_id, phash:int64,
+    caption:string) synthesized from documents with PLANTED cross-modal
+    structure, in SQL-twinnable column functions only (phash is a data
+    column here, exactly the input_hint corpus shape; decode-path phash
+    is covered by payload_phash / phash_neardup): each (even, odd) doc
+    pair shares a phash base XOR a 2-bit flip (Hamming 2) and an 8-token
+    caption (odd side appends one token); ids % 10 in (4,5) break the
+    IMAGE modality (unrelated phash), ids % 10 in (6,7) break the TEXT
+    modality (own-text caption)."""
+    d = _t(spark, sf_dir, "documents")
+    b = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    base = F.col("doc_id") - F.col("doc_id") % 2
+    j = d.join(b, base == F.col("b_id"), "left")
+    odd = F.col("doc_id") % 2 == 1
+    mod10 = F.col("doc_id") % 10
+    ph = F.when(
+        mod10.isin(4, 5),
+        X.md5_int60(F.concat(F.lit("img"), F.col("doc_id").cast("string"))),
+    ).otherwise(
+        X.md5_int60(F.concat(F.lit("imgbase"), base.cast("string"))).bitwiseXOR(
+            F.when(odd, F.lit(3)).otherwise(F.lit(0)).cast("long")
+        )
+    )
+    cap8 = lambda c: F.array_join(F.slice(X.tokens(c), 1, 8), " ")
+    caption = F.when(mod10.isin(6, 7), cap8(F.col("text"))).otherwise(
+        F.concat(
+            cap8(F.coalesce(F.col("b_text"), F.col("text"))),
+            F.when(odd, F.lit(" zzalt")).otherwise(F.lit("")),
+        )
+    )
+    return j.select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("image_id"),
+        ph.alias("phash"),
+        caption.alias("caption"),
+    )
+
+
+def q_xmodal_neardup(spark, sf_dir):
+    """CROSS-MODAL near-dup pairs over the image+caption corpus: a pair
+    survives only when BOTH modalities agree — phash Hamming ≤ 3 AND
+    caption token-set Jaccard ≥ 0.4 (operators/payload.
+    image_caption_neardup: banded phash LSH candidates, caption Jaccard
+    verified on candidates only, never all-pairs text). Full value-hash
+    twin: the DuckDB oracle brute-forces every pair with bit_count(xor)
+    while Spark runs the LSH plan — equal output because band recall is
+    pigeonhole-exact for Hamming ≤ N_BANDS-1."""
+    from crawlspark.operators.payload import image_caption_neardup
+
+    return image_caption_neardup(_xmodal_corpus(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl admission pipeline (canonicalize → validate →
     trap gate → dedup-by-seen-key → per-domain window-rank politeness
@@ -1422,6 +1556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "json_extract": q_json_extract,
         "merge_upsert": q_merge_upsert,
+        "time_travel": q_time_travel,
+        "snapshot_changelog": q_snapshot_changelog,
+        "xmodal_neardup": q_xmodal_neardup,
         "approx_distinct": q_approx_distinct,
         "cumulative_spend": q_cumulative_spend,
         "sessionize_stream": q_sessionize_stream,
@@ -2044,6 +2181,48 @@ def oracle_sql() -> dict[str, str]:
                                          order by v desc) as rn
             from all_rows)
           where rn = 1 order by o_orderkey
+        """,
+        "time_travel": """
+          select o_orderkey, o_totalprice from orders
+          where o_orderkey % 3 <> 0 order by o_orderkey
+        """,
+        "snapshot_changelog": """
+          select o_orderkey, o_totalprice from orders
+          where o_orderkey % 3 = 0 order by o_orderkey
+        """,
+        "xmodal_neardup": f"""
+          with corpus as (
+            select 'img' || d.doc_id::VARCHAR as image_id,
+                   case when d.doc_id % 10 in (4, 5)
+                        then ('0x' || substr(md5('img' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                        else xor(('0x' || substr(md5('imgbase' ||
+                                 (d.doc_id - d.doc_id % 2)::VARCHAR), 1, 15))::BIGINT,
+                                 (case when d.doc_id % 2 = 1 then 3 else 0 end)::BIGINT)
+                   end as phash,
+                   case when d.doc_id % 10 in (6, 7)
+                        then array_to_string(list_slice(
+                               {TOK_SQL.format(c="d.text")}, 1, 8), ' ')
+                        else array_to_string(list_slice(
+                               {TOK_SQL.format(c="coalesce(b.text, d.text)")}, 1, 8), ' ')
+                             || (case when d.doc_id % 2 = 1 then ' zzalt' else '' end)
+                   end as caption
+            from documents d
+            left join documents b on b.doc_id = d.doc_id - d.doc_id % 2
+          ),
+          toks as (
+            select image_id, phash,
+                   list_distinct({TOK_SQL.format(c="caption")}) as t
+            from corpus
+          )
+          select a.image_id as id_a, b.image_id as id_b,
+                 bit_count(xor(a.phash, b.phash))::INTEGER as hamming,
+                 round(len(list_intersect(a.t, b.t))::DOUBLE
+                       / len(list_distinct(a.t || b.t)), 6) as jaccard
+          from toks a join toks b on a.image_id < b.image_id
+          where bit_count(xor(a.phash, b.phash)) <= 3
+            and round(len(list_intersect(a.t, b.t))::DOUBLE
+                      / len(list_distinct(a.t || b.t)), 6) >= 0.4
+          order by id_a, id_b
         """,
         "json_extract": """
           select event_type, count(*) as n,

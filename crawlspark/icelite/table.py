@@ -160,6 +160,80 @@ class IceliteCatalog:
             d = json.load(f)
         return Snapshot(d["snapshot_id"], d["parent_id"], d["tables"], d["meta"])
 
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        """Time-travel handle: load a RETAINED snapshot by id without
+        moving ``_current`` (Iceberg's read-as-of / VERSION AS OF).
+        Raises FileNotFoundError once ``expire_snapshots`` has dropped
+        the manifest — expired ids are not readable, same contract as
+        rollback targets."""
+        mpath = os.path.join(
+            self.root, "manifests", f"snapshot-{snapshot_id:06d}.json"
+        )
+        with open(mpath) as f:
+            d = json.load(f)
+        return Snapshot(d["snapshot_id"], d["parent_id"], d["tables"], d["meta"])
+
+    def changelog(
+        self,
+        spark: SparkSession,
+        from_snapshot: Snapshot,
+        to_snapshot: Snapshot,
+        name: str,
+    ) -> DataFrame | None:
+        """Incremental append scan (Iceberg's changelog/incremental read,
+        CDC surface): the rows ADDED to table ``name`` between two
+        snapshots — exactly the data files listed by ``to_snapshot`` but
+        not by ``from_snapshot``, read with the target snapshot's pinned
+        schema. No diffing of row contents happens: manifests name the
+        delta, so the scan plans from JSON alone and reads only the new
+        files — O(appended data), not O(table).
+
+        Only append histories are incremental-readable: if any file of
+        ``from_snapshot`` is gone in ``to_snapshot`` the table was
+        rewritten in between (compaction / merge-on-read fold) and an
+        append diff would be wrong — raises ValueError, matching
+        Iceberg's incremental-scan restriction. Returns None when
+        nothing was appended."""
+        old_info = from_snapshot.tables.get(name)
+        new_info = to_snapshot.tables.get(name)
+        if new_info is None:
+            return None
+        old_files = {f["file"] for f in (old_info or {}).get("files", [])}
+        new_files = [f["file"] for f in new_info.get("files", [])]
+        if not new_files:
+            # no per-file manifest entries — fall back to whole-dir diff
+            old_paths = set(self.paths(from_snapshot, name))
+            added = [
+                p for p in self.paths(to_snapshot, name) if p not in old_paths
+            ]
+            if set(old_paths) - set(self.paths(to_snapshot, name)):
+                raise ValueError(
+                    f"table {name!r} was rewritten between snapshots "
+                    f"{from_snapshot.snapshot_id} and "
+                    f"{to_snapshot.snapshot_id}; changelog needs an "
+                    "append-only history"
+                )
+        else:
+            missing = old_files - set(new_files)
+            if missing:
+                raise ValueError(
+                    f"table {name!r} was rewritten between snapshots "
+                    f"{from_snapshot.snapshot_id} and "
+                    f"{to_snapshot.snapshot_id} ({len(missing)} files "
+                    "dropped); changelog needs an append-only history"
+                )
+            added = [
+                os.path.join(self.root, f) for f in new_files if f not in old_files
+            ]
+        if not added:
+            return None
+        reader = spark.read
+        if new_info.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(new_info["schema"]))
+        return reader.parquet(*added)
+
     def load(self, spark: SparkSession, snapshot: Snapshot, name: str) -> DataFrame | None:
         info = snapshot.tables.get(name)
         if info is None:

@@ -101,3 +101,60 @@ def compute_phash(pages: DataFrame) -> DataFrame:
     return pages.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         gen, schema=_PHASH_SCHEMA
     )
+
+
+def image_caption_neardup(
+    corpus: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """Joint CROSS-MODAL near-duplicate pairs over the north-rule corpus
+    shape (image_id, ..., caption:string, phash:int64): a pair is a
+    near-dup only when BOTH modalities agree — perceptual-hash Hamming
+    ≤ ``max_hamming`` AND caption token-set Jaccard ≥ ``min_jaccard``.
+
+    Plan (the 10^10-row shape): candidates come from the banded Hamming
+    LSH self-join on the phash column (functions/simhash.lsh_similar_pairs
+    — ONE shuffle on (band_id, band_val), recall pigeonhole-exact for
+    max_hamming ≤ N_BANDS-1); the caption Jaccard is then verified on the
+    CANDIDATES ONLY via two joins back to the tokenized caption column.
+    Text similarity is never computed all-pairs — the image modality
+    bounds the candidate set, so caption verification is O(candidates),
+    the cross-modal analogue of LSH-then-verify.
+
+    REFERENCE — the reference crawler gates near-dup pages on ONE
+    modality (crawler/simhash.py text fingerprints); an image+caption
+    corpus needs agreement across both before dropping a pair.
+    """
+    from crawlspark.functions.simhash import hamming64, lsh_similar_pairs
+    from crawlspark.functions.text import tokens
+
+    cand = lsh_similar_pairs(
+        corpus.select(id_col, phash_col), id_col, phash_col, max_hamming
+    )
+    sides = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).alias("_ph"),
+        F.array_distinct(tokens(F.col(caption_col))).alias("_toks"),
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"), F.col("_toks").alias("t_a")
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b"), F.col("_toks").alias("t_b")
+    )
+    jac = F.size(F.array_intersect("t_a", "t_b")) / F.size(F.array_union("t_a", "t_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("ph_a"), F.col("ph_b")).cast("int").alias("hamming"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
