@@ -75,6 +75,10 @@ class CorpusSpec:
     seed: int = 42
     img_sizes: tuple[int, ...] = (16, 32)
     max_links: int = 12
+    # (domain_index, delay_seconds) pairs: append a "Crawl-delay: N" line
+    # to those domains' robots bodies (default empty — corpora without it
+    # are byte-identical to before the option existed)
+    crawl_delays: tuple[tuple[int, int], ...] = ()
 
 
 def _domain(k: int) -> str:
@@ -230,6 +234,11 @@ def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
                 "Disallow: /admin/\n"
                 "Allow: /admin/public/\n"
             )
+        delay = dict(spec.crawl_delays).get(k)
+        if delay is not None:
+            if "User-agent" not in body:
+                body += "User-agent: *\n"
+            body += f"Crawl-delay: {delay}\n"
         if k % 3 == 0:
             sm_url = f"https://{dom}/wp-sitemap.xml"
             body += f"Sitemap: {sm_url}\n"

@@ -247,6 +247,17 @@ class CrawlEngine:
             "host" if config.extra.get("politeness_key") == "netloc"
             else "registered_domain"
         )
+        # opt-in robots Crawl-delay pacing (default OFF — the reference
+        # ignores the directive, and conformance schedules must stay
+        # byte-identical): per-domain delay in ROUNDS derived from the
+        # rules table (ceil(delay_s / politeness_delay_s)); state = one
+        # tiny (key, registered_domain, last_round) table of DELAYED keys
+        # only, rewritten per round via _mat_state and carried in
+        # snapshots. Scale: O(#domains-with-crawl-delay) rows, the
+        # blocked anti-join is AQE-guarded like the K=1 heads join.
+        self._respect_crawl_delay = bool(config.extra.get("respect_crawl_delay"))
+        self._delay_state: DataFrame | None = None
+        self._n_delay_rules: int | None = None  # None = recount from rules
         # stats-pruned frontier-heads scheduling (north_rule 10^10 scan):
         # when the pending base is the sorted compacted layout, each round
         # reads only per-key head files (footer/manifest bounds) + deltas
@@ -618,6 +629,87 @@ class CrawlEngine:
         }
         return base, telemetry
 
+    # -- opt-in robots Crawl-delay pacing ------------------------------
+    def _delay_rules_count(self) -> int:
+        """#crawl_delay rows in the rules table, recounted lazily after
+        any rules change (one tiny job; only ever runs when the feature
+        flag is on)."""
+        if self._n_delay_rules is None:
+            self._n_delay_rules = self.rules.filter(
+                F.col("rule_type") == "crawl_delay"
+            ).count()
+        return self._n_delay_rules
+
+    def _delays_plan(self) -> DataFrame:
+        """(registered_domain, delay_rounds) for domains whose robots ask
+        for MORE than one politeness tick between fetches:
+        delay_rounds = ceil(Crawl-delay / politeness_delay_s), max across
+        duplicate directives; non-numeric values are ignored. A lazy plan
+        over the materialized rules state — evaluated inside the consuming
+        join, never its own job."""
+        tick = float(self.config.politeness_delay_s)
+        return (
+            self.rules.filter(F.col("rule_type") == "crawl_delay")
+            .groupBy("registered_domain")
+            .agg(F.max(F.col("value").cast("double")).alias("_ds"))
+            .select(
+                "registered_domain",
+                F.greatest(F.lit(1), F.ceil(F.col("_ds") / F.lit(tick)))
+                .cast("int")
+                .alias("delay_rounds"),
+            )
+            .filter(F.col("delay_rounds") > 1)
+        )
+
+    def _blocked_keys(self) -> DataFrame | None:
+        """Politeness keys still inside their Crawl-delay window this
+        round (None when the feature is off / no delayed key has been
+        scheduled yet). O(#delayed-domains) rows; AQE decides the join
+        strategy downstream (same guard philosophy as the K=1 heads)."""
+        if (
+            not self._respect_crawl_delay
+            or self._delay_state is None
+            or self._delay_rules_count() == 0
+        ):
+            return None
+        return (
+            self._delay_state.join(self._delays_plan(), "registered_domain")
+            .filter(
+                (F.lit(self.round_no) - F.col("last_round"))
+                < F.col("delay_rounds")
+            )
+            .select(F.col("dkey").alias(self._key_col))
+        )
+
+    def _update_delay_state(self, sched: DataFrame) -> None:
+        """Record last_round for the DELAYED keys scheduled this round
+        (keys without a crawl-delay never consult the state). One tiny
+        full-rewrite job per round, only when the feature is on and
+        crawl_delay rules exist."""
+        if not self._respect_crawl_delay or self._delay_rules_count() == 0:
+            return
+        newly = (
+            sched.select(
+                F.col(self._key_col).alias("dkey"), "registered_domain"
+            )
+            .distinct()
+            .join(self._delays_plan().select("registered_domain"), "registered_domain")
+            .select(
+                "dkey",
+                "registered_domain",
+                F.lit(self.round_no).alias("last_round"),
+            )
+        )
+        merged = (
+            newly
+            if self._delay_state is None
+            else self._delay_state.unionByName(newly)
+        )
+        merged = merged.groupBy("dkey", "registered_domain").agg(
+            F.max("last_round").alias("last_round")
+        )
+        self._delay_state = self._mat_state(merged, "crawl_delay", single=True)
+
     def _gc_scratch(self) -> None:
         import shutil
 
@@ -637,6 +729,13 @@ class CrawlEngine:
             self.rules = (
                 self.catalog.load(self.spark, snap, "rules") or self._empty(RULES_SCHEMA)
             )
+            self._n_delay_rules = None
+            if self._respect_crawl_delay:
+                ds = self.catalog.load(self.spark, snap, "crawl_delay_state")
+                if ds is not None:
+                    self._delay_state = self._mat_state(
+                        ds, "crawl_delay", single=True
+                    )
             for name in ("completed", "bad", "fingerprints"):
                 self._state_parts[name] = self.catalog.paths(snap, name)
             if self._state_parts.get("bad"):
@@ -682,6 +781,7 @@ class CrawlEngine:
         # first write)
         self._compact_pending(force=True)
         self.rules = rules
+        self._n_delay_rules = None
         self.next_seq = next_seq
         self._init_known_doms()
         self._checkpoint_state()
@@ -795,6 +895,7 @@ class CrawlEngine:
         if res.new_rules is not None:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
+            self._n_delay_rules = None
             if self._known_doms is not None:
                 # keep the cache coherent when the relational path ran
                 # (huge batch); fast-path updates happened in-place
@@ -833,14 +934,19 @@ class CrawlEngine:
         # snapshot pending in the sorted range-partitioned layout (tight
         # per-file manifest bounds; see _sorted_layout)
         pending_sorted = self._sorted_layout(self.pending)
+        tables: dict = {
+            "pending": pending_sorted,
+            "rules": self.rules,
+            "completed": list(self._state_parts.get("completed", [])),
+            "bad": list(self._state_parts.get("bad", [])),
+            "fingerprints": list(self._state_parts.get("fingerprints", [])),
+        }
+        if self._respect_crawl_delay and self._delay_state is not None:
+            # Crawl-delay pacing state rides the snapshot so a resumed
+            # crawl keeps honoring in-flight delay windows
+            tables["crawl_delay_state"] = self._delay_state
         snap = self.catalog.commit(
-            {
-                "pending": pending_sorted,
-                "rules": self.rules,
-                "completed": list(self._state_parts.get("completed", [])),
-                "bad": list(self._state_parts.get("bad", [])),
-                "fingerprints": list(self._state_parts.get("fingerprints", [])),
-            },
+            tables,
             meta={
                 "next_seq": self.next_seq,
                 "round_no": self.round_no,
@@ -895,14 +1001,34 @@ class CrawlEngine:
         self.round_no += 1
 
         sched_src, sched_scan = self._pending_for_schedule()
+        blocked = self._blocked_keys()
+        if blocked is not None:
+            sched_src = sched_src.join(blocked, self._key_col, "left_anti")
         sched = self._mat(
             schedule_round(sched_src, cfg.per_domain_quota, self._key_col), "sched"
         )
         n_sched = fast_count(sched)
         _mark("schedule")
         if n_sched == 0:
+            if blocked is not None and (
+                self.pending.join(blocked, self._key_col, "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            ):
+                # everything pending sits inside a Crawl-delay window —
+                # this round is an IDLE politeness tick, not termination
+                dt = time.monotonic() - t0
+                self.stats.rounds.append(
+                    RoundStats(self.round_no, 0, 0, {}, dt, sched_scan)
+                )
+                if self.pace_wallclock:
+                    time.sleep(max(0.0, cfg.politeness_delay_s - dt))
+                self._gc_scratch()
+                return True
             self.round_no -= 1
             return False
+        self._update_delay_state(sched)
 
         s = sched.withColumn("sim_tokens", BAD.sim_tokens(F.col("url")))
 

@@ -68,6 +68,13 @@ def parse_robots_py(
             if directive == "allow" and value:
                 rows.append((domain, "allow", value, pos))
                 pos += 1
+            elif directive == "crawl-delay" and value:
+                # UA-scoped Crawl-delay (de-facto extension the reference
+                # ignores entirely; opt-in via respect_crawl_delay) —
+                # consumed by the engine's per-domain pacing, inert for
+                # the allow/disallow gate and sitemap expansion
+                rows.append((domain, "crawl_delay", value, pos))
+                pos += 1
             elif directive == "disallow" and value:
                 rows.append((domain, "disallow", value, pos))
                 pos += 1

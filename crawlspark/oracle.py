@@ -12,6 +12,7 @@ order, and all four report outputs.
 
 from __future__ import annotations
 
+import math
 import re
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -93,6 +94,11 @@ class OracleCrawl:
     fetch_order: dict[str, list[str]] = field(default_factory=lambda: defaultdict(list))
     next_seq: int = 0
     round_no: int = 0
+    # opt-in robots Crawl-delay pacing (extra["respect_crawl_delay"]):
+    # rdom → delay in ROUNDS (ceil(delay_s / politeness_delay_s)), and the
+    # last round each politeness key was scheduled in
+    crawl_delays: dict[str, int] = field(default_factory=dict)
+    last_sched: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
         pages = pq.read_table(f"{self.corpus_dir}/pages.parquet").to_pylist()
@@ -163,6 +169,21 @@ class OracleCrawl:
                     self.rules[rdom] = [
                         (t, v) for _, t, v, _ in rows_r if t in ("allow", "disallow")
                     ]
+                    if self.config.extra.get("respect_crawl_delay"):
+                        ds = []
+                        for _, t, v, _ in rows_r:
+                            if t == "crawl_delay":
+                                try:
+                                    ds.append(float(v))
+                                except ValueError:
+                                    pass
+                        if ds:
+                            self.crawl_delays[rdom] = max(
+                                1,
+                                math.ceil(
+                                    max(ds) / self.config.politeness_delay_s
+                                ),
+                            )
                     self.sitemap_roots[rdom] = [
                         (p, v) for _, t, v, p in rows_r if t == "sitemap"
                     ]
@@ -225,15 +246,26 @@ class OracleCrawl:
     def run_round(self) -> bool:
         self.round_no += 1
         cfg = self.config
+        respect_delay = bool(cfg.extra.get("respect_crawl_delay"))
         scheduled: list[str] = []
         for dom in list(self.queues):
             q = self.queues[dom]
+            if respect_delay and q:
+                dr = self.crawl_delays.get(self.rows[q[0]].rdom, 1)
+                if dr > 1 and self.round_no - self.last_sched.get(dom, -(10**9)) < dr:
+                    continue  # domain still inside its Crawl-delay window
             take = q[: cfg.per_domain_quota]
             self.queues[dom] = q[cfg.per_domain_quota :]
             if not self.queues[dom]:
                 del self.queues[dom]
+            if respect_delay and take:
+                self.last_sched[dom] = self.round_no
             scheduled.extend(take)
         if not scheduled:
+            if respect_delay and self.queues:
+                # everything pending is inside a Crawl-delay window — the
+                # round is an IDLE politeness tick, not termination
+                return True
             self.round_no -= 1
             return False
         scheduled.sort(key=lambda k: self.rows[k].seq)
