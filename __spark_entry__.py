@@ -236,6 +236,14 @@ def q_dedup_prefix(spark, sf_dir):
     ).orderBy("prefix_hash")
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup: 16-word passages, first (doc_id, pos)
+    occurrence kept corpus-wide, documents rebuilt from kept passages."""
+    return DD.passage_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=16
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
@@ -1517,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
+        "passage_dedup": q_passage_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
@@ -2056,6 +2065,31 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n_docs, min(doc_id) as min_id
           from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
           group by 1 having count(*) > 1 order by prefix_hash
+        """,
+        "passage_dedup": f"""
+          with base as (
+            select doc_id, l,
+                   cast(ceil(len(l) / 16.0) as int) as n_passages
+            from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
+          ), occ as (
+            select doc_id, l, unnest(range(0, n_passages)) as pos from base
+          ), pass as (
+            select doc_id, pos,
+                   array_to_string(l[(pos*16+1):(pos*16+16)], ' ') as p
+            from occ
+          ), keep as (
+            select doc_id, pos, p from pass
+            qualify row_number() over (partition by md5(p) order by doc_id, pos) = 1
+          ), reb as (
+            select doc_id, count(*) as n_kept,
+                   string_agg(p, ' ' order by pos) as clean_text
+            from keep group by doc_id
+          )
+          select b.doc_id, b.n_passages,
+                 coalesce(r.n_kept, 0)::BIGINT as n_kept,
+                 coalesce(r.clean_text, '') as clean_text
+          from base b left join reb r using (doc_id)
+          order by b.doc_id
         """,
         "ngram_jaccard": _jaccard_sql(0.8),
         "ngram_jaccard_capped": _jaccard_capped_sql(0.8, 100),

@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "ngram_jaccard",
     "ngram_jaccard_capped",
+    "passage_dedup",
     "minhash_lsh",
     "dedup_clusters",
     "simhash_pairs",
@@ -61,6 +62,9 @@ HEADLINE_QUERIES = [
     "image_gate",
     "pagerank",
     "recrawl_schedule",
+    "time_travel",
+    "snapshot_changelog",
+    "xmodal_neardup",
 ]
 
 

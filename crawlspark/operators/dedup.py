@@ -92,6 +92,70 @@ def prefix_fingerprint_groups(
     )
 
 
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", window: int = 16
+) -> DataFrame:
+    """Passage-level exact dedup (the RefinedWeb/CCNet line-dedup shape
+    adapted to unstructured text): chunk each document's tokens into
+    consecutive ``window``-word passages, keep exactly ONE copy of each
+    distinct passage corpus-wide (the lexicographically-first
+    (doc_id, pos) occurrence), and rebuild each document from its kept
+    passages in order.
+
+    Returns (doc_id, n_passages, n_kept, clean_text) for every input
+    document — docs whose every passage was seen earlier come back with
+    n_kept = 0 and clean_text = ''.
+
+    Scale notes (100 TB): the exploded passage table is ~#tokens/window
+    rows; the keeper rule is one hash aggregate on the passage hash
+    (map-side partial min(struct)) + an equi-join back on the same key —
+    no window function over a skewed partition, so a boilerplate passage
+    appearing in 10^8 documents is one aggregate cell, and AQE handles
+    the join-side skew. Rebuild is one groupBy(doc) with an in-group
+    array_sort (passages per doc is bounded by doc length / window).
+    """
+    toks = tokens(F.col(text_col))
+    n_pass = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(n_pass, F.lit(0)).alias("n_passages"),
+        F.when(n_pass > 0, passages).otherwise(F.array().cast("array<string>")).alias("_ps"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("_ps").alias("pos", "p")
+    ).withColumn("h", F.md5("p"))
+    keeper = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    kept = occ.join(keeper, "h").filter(
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda x: x["p"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n_passages")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -307,3 +307,26 @@ def test_merge_upsert_latest_wins_and_tiebreak(spark):
     )
     got = M.latest_wins(clash, ["k"], "v", tiebreak="s").collect()
     assert len(got) == 1 and got[0]["s"] == "zzz"
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    # window=2: P1="a b", P2="c d", P3="e f" (and a tail passage "g")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # P1 P2 — first occurrences, all kept
+            (2, "a b e f"),        # P1 dup (doc 1 pos 0), "e f" fresh
+            (3, "c d"),            # P2 dup — everything dropped
+            (4, "e f a b g"),      # both dups + fresh tail "g"
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["clean_text"])
+        for r in DD.passage_dedup(docs, "doc_id", "text", window=2).collect()
+    }
+    assert out == {
+        1: (2, 2, "a b c d"),
+        2: (2, 1, "e f"),
+        3: (1, 0, ""),
+        4: (3, 1, "g"),
+    }
