@@ -294,6 +294,17 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirtsis A-Res,
+    weight = n_chars): k highest ln(u)/w priorities with u hash-uniform —
+    deterministic, distributed TakeOrdered, exact DuckDB twin."""
+    from crawlspark.operators import sampling as SP
+
+    return SP.sample_weighted(
+        _t(spark, sf_dir, "documents"), "n_chars", k=100
+    ).orderBy("doc_id")
+
+
 def q_pack_token_budget(spark, sf_dir):
     """Concat-then-chunk batching: docs in id order per language, bin
     boundary every PACK_BUDGET tokens of running start."""
@@ -1531,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,
         "corpus_prep": q_corpus_prep,
         "simhash_pairs": q_simhash_pairs,
@@ -2099,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "sample_stratified": _sample_stratified_sql(),
+        "sample_weighted": """
+          select doc_id, n_chars,
+                 round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 1000000 + 0.5) / 1000000.0) / n_chars, 9) as priority
+          from documents
+          where n_chars > 0
+          order by ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 1000000 + 0.5) / 1000000.0) / n_chars desc, doc_id
+          limit 100
+        """,
         "pack_token_budget": _pack_token_budget_sql(),
         "corpus_prep": _corpus_prep_sql(),
         "simhash_pairs": _simhash60_sql(),

@@ -123,6 +123,10 @@ def main() -> None:
     rounds = int(os.environ.get("CRAWL_BENCH_ROUNDS", "8"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
+    # bench honesty: host load at launch rides in the output so
+    # load-inflated samples are identifiable after the fact
+    loadavg = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("crawlspark-bench", master=f"local[{cpus}]")
     t_all = time.monotonic()
 
@@ -160,6 +164,7 @@ def main() -> None:
                 "queries": timings,
                 "query_runs": query_runs,
                 "wall_clock_sec_all_runs": wall,
+                "loadavg_at_launch": loadavg,
                 "sf": sf,
                 "crawl": crawl,
             }

@@ -49,6 +49,45 @@ def sample_stratified(
     return df.filter(u < F.round(rate * SAMPLE_MOD).cast("long"))
 
 
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirtsis A-Res):
+    each row draws priority = ln(u) / w with u hash-uniform in (0, 1);
+    the k highest priorities are the sample — P(selection) proportional
+    to weight, deterministic (no rand(): stable under retry / resume /
+    repartitioning), and exactly reproducible by any engine with md5 +
+    IEEE doubles. Rows with non-positive weight never qualify.
+
+    Scale: orderBy().limit(k) is Spark's distributed TakeOrdered — each
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge; no global sort materializes.
+
+    Returns (id_col, weight_col, priority) with priority rounded to 9
+    digits for cross-engine value stability. Ranking happens on the
+    unrounded double: u is an exactly-representable dyadic rational, so
+    engines can disagree only where two priorities sit within ~1 ulp of
+    each other after ln (JVM vs libm last-bit differences) — vanishingly
+    unlikely for distinct ids, and the 9-digit rounding keeps the
+    emitted values identical regardless."""
+    u = (md5_int60(F.col(id_col).cast("string")) % SAMPLE_MOD + 0.5) / SAMPLE_MOD
+    pr = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            pr.alias("_pr"),
+        )
+        .orderBy(F.col("_pr").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, weight_col, F.round(F.col("_pr"), 9).alias("priority"))
+    )
+
+
 def pack_token_budget(
     docs: DataFrame,
     budget: int,

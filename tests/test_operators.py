@@ -330,3 +330,27 @@ def test_passage_dedup_first_occurrence_wins(spark):
         3: (1, 0, ""),
         4: (3, 1, "g"),
     }
+
+
+def test_sample_weighted_ares_exact(spark):
+    import hashlib
+    import math
+
+    from crawlspark.operators import sampling as SP
+
+    rows = [(i, (i % 7) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = SP.sample_weighted(df, "w", k=10, id_col="doc_id").collect()
+
+    def pr(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((h % 1_000_000 + 0.5) / 1_000_000) / w
+
+    want = sorted(rows, key=lambda r: (-pr(*r), r[0]))[:10]
+    assert {r["doc_id"] for r in got} == {i for i, _ in want}
+    for r in got:
+        assert abs(r["priority"] - pr(r["doc_id"], r["w"])) < 1e-9
+
+    # zero/negative weights never qualify
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], ["doc_id", "w"])
+    assert [r["doc_id"] for r in SP.sample_weighted(df2, "w", k=3).collect()] == [3]
