@@ -1167,6 +1167,63 @@ def q_sessionize_stream(spark, sf_dir):
     )
 
 
+def q_dedup_stream(spark, sf_dir):
+    """STREAMING INCREMENTAL DEDUP: documents replayed as two
+    doc_id-ordered parquet micro-batches through the stateful
+    keep-first-per-key operator (crawlspark.streaming.stateful
+    keep_first_stream; key = 2-token prefix hash, dedup_prefix's
+    grouping). State carries one kept doc_id per distinct key across
+    batches, only newly-kept docs are emitted, and because batches
+    arrive in doc_id order the drained output equals the batch
+    keep-min-id answer — full value-hash SQL twin."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from crawlspark.functions.text import tokens
+    from crawlspark.streaming.stateful import keep_first_stream
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 2))).alias("key"),
+    )
+    lo = docs.orderBy("doc_id").limit(int(docs.count() // 2))
+    hi = docs.join(lo.select("doc_id"), "doc_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, part in enumerate((lo, hi)):
+        stage = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    _SESS_STREAM_SEQ[0] += 1
+    qname = f"dedup_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        keep_first_stream(stream, "key")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(work, ignore_errors=True)
+    # each key emits at most once ever, so the table IS the final answer
+    return (
+        spark.table(qname)
+        .select("doc_id", F.col("key").alias("prefix_hash"))
+        .orderBy("doc_id")
+    )
+
+
 def q_windowed_events_stream(spark, sf_dir):
     """STREAMING twin of `windowed_events`: the same rows replayed as two
     time-ordered parquet micro-batches through the watermarked
@@ -1583,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "cumulative_spend": q_cumulative_spend,
         "sessionize_stream": q_sessionize_stream,
+        "dedup_stream": q_dedup_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
         "status_routing": q_status_routing,
@@ -2435,6 +2493,15 @@ def oracle_sql() -> dict[str, str]:
           from documents group by source order by source
         """,
         # the stateful-streaming twin converges to the identical answer
+        "dedup_stream": f"""
+          select doc_id,
+                 md5(concat_ws(' ', l[1], l[2])) as prefix_hash
+          from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
+          qualify row_number() over (
+            partition by md5(concat_ws(' ', l[1], l[2])) order by doc_id
+          ) = 1
+          order by doc_id
+        """,
         "sessionize_stream": """
           select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events from (
             select user_id,

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -73,6 +73,55 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KEEP_FIRST_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+KEEP_FIRST_STATE = StructType([StructField("kept_doc", LongType())])
+
+
+def keep_first_stream(docs: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming incremental dedup: keep the FIRST document seen per key
+    across all micro-batches (ties within a batch broken by min doc_id),
+    emit it once, and drop every later arrival — the incremental form of
+    batch `keep-min-id` dedup for a corpus that grows as crawl batches
+    land. When batches arrive in doc_id order, the drained output equals
+    the batch answer `row_number() over (partition by key order by
+    doc_id) = 1`, so the operator carries a full value-hash SQL twin.
+
+    Scale: state is ONE long per distinct key, Spark-managed
+    (checkpointed, RocksDB-backed on a real cluster); each micro-batch
+    shuffles only its own rows on the key and emits only newly-kept
+    docs, so steady-state output is O(new content), not O(corpus).
+    """
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        best = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        if state.exists or best is None:
+            return  # key already owned by an earlier batch — drop silently
+        state.update((best,))
+        yield pd.DataFrame([(k, best)], columns=["key", "doc_id"])
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=KEEP_FIRST_OUTPUT,
+        stateStructType=KEEP_FIRST_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -90,3 +90,41 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
 
     per_user_updates = Counter(r["user_id"] for r in updates)
     assert max(per_user_updates.values()) == 2
+
+
+def test_keep_first_stream_dedup_across_batches(spark, tmp_path):
+    """Incremental dedup: a key seen in batch 0 must NOT re-emit when it
+    reappears in batch 1; within a batch the min doc_id wins; the
+    drained output equals the batch keep-min-id answer."""
+    from crawlspark.streaming.stateful import keep_first_stream
+
+    b0 = spark.createDataFrame(
+        [(3, "ka"), (1, "ka"), (2, "kb")], ["doc_id", "key"]
+    )
+    b1 = spark.createDataFrame(
+        [(9, "ka"), (5, "kc"), (6, "kc"), (7, "kb")], ["doc_id", "key"]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate((b0, b1)):
+        part.coalesce(1).write.parquet(f"{src}_stage{i}")
+        shutil.copy(glob.glob(f"{src}_stage{i}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        keep_first_stream(stream, "key")
+        .writeStream.format("memory")
+        .queryName("keep_first")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["key"], r["doc_id"]) for r in spark.sql("select * from keep_first").collect()}
+    assert got == {("ka", 1), ("kb", 2), ("kc", 5)}
