@@ -1456,6 +1456,60 @@ def _tt_catalog(spark, sf_dir):
     return cat
 
 
+_EQDEL_CATALOGS: dict[str, str] = {}
+
+
+def _eqdel_catalog(spark, sf_dir):
+    """Three-commit icelite catalog exercising Iceberg-v2 equality
+    deletes: snapshot 0 lands the ``o_orderkey % 3 <> 0`` delta BY
+    REFERENCE, snapshot 1 is an EQUALITY-DELETE commit of every even
+    o_orderkey (a tiny key parquet — no data file rewritten), snapshot 2
+    appends the ``% 3 = 0`` delta. Sequence rule: the delete scopes to
+    snapshot-0 files only, so even keys arriving in snapshot 2 SURVIVE."""
+    import atexit
+    import os
+    import tempfile
+
+    from crawlspark.icelite import IceliteCatalog
+
+    root = _EQDEL_CATALOGS.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_current")):
+        return IceliteCatalog(root)
+    if not _TT_SCRATCH:
+        atexit.register(_tt_cleanup)
+    root = tempfile.mkdtemp(prefix="crawlspark_eqdel_")
+    _TT_SCRATCH.append(root)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d0 = os.path.join(root, "delta0")
+    d1 = os.path.join(root, "delta1")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d0)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d1)
+    cat = IceliteCatalog(root)
+    cat.commit({"orders_mor": [d0]}, {"round": 0})
+    cat.commit_delete(
+        "orders_mor",
+        o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+        {"round": 1},
+    )
+    cat.commit({"orders_mor": [d0, d1]}, {"round": 2})
+    _EQDEL_CATALOGS[sf_dir] = root
+    return cat
+
+
+def q_merge_on_read_delete(spark, sf_dir):
+    """Iceberg-v2 EQUALITY-DELETE merge-on-read with the sequence rule:
+    reading the _eqdel_catalog head must show snapshot-0 rows minus the
+    deleted even keys, PLUS every snapshot-2 row — including even keys,
+    because their files postdate the delete. O(delete keys) commit cost;
+    the read groups files by delete-applicability suffix and anti-joins
+    only where the sequence says so. Oracle: the survivorship predicate
+    restated in SQL."""
+    cat = _eqdel_catalog(spark, sf_dir)
+    assert cat.latest().snapshot_id == 2
+    return cat.load(spark, cat.latest(), "orders_mor").orderBy("o_orderkey")
+
+
 def q_time_travel(spark, sf_dir):
     """Iceberg-semantics TIME TRAVEL (read VERSION AS OF): after a second
     append commit has moved ``_current`` on, reading snapshot 0 through
@@ -1636,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "time_travel": q_time_travel,
         "snapshot_changelog": q_snapshot_changelog,
+        "merge_on_read_delete": q_merge_on_read_delete,
         "xmodal_neardup": q_xmodal_neardup,
         "approx_distinct": q_approx_distinct,
         "cumulative_spend": q_cumulative_spend,
@@ -2303,6 +2358,12 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_changelog": """
           select o_orderkey, o_totalprice from orders
           where o_orderkey % 3 = 0 order by o_orderkey
+        """,
+        "merge_on_read_delete": """
+          select o_orderkey, o_totalprice from orders
+          where (o_orderkey % 3 <> 0 and o_orderkey % 2 <> 0)
+             or o_orderkey % 3 = 0
+          order by o_orderkey
         """,
         "xmodal_neardup": f"""
           with corpus as (

@@ -11,6 +11,13 @@ checkpoint/resume contract is implemented directly:
   ``os.replace``d — readers only ever follow ``_current`` → manifest →
   files, so a crash mid-commit leaves the previous snapshot intact;
 - rollback = point ``_current`` at an older retained manifest;
+- row-level deletes = ``commit_delete``: an Iceberg-v2 EQUALITY-DELETE
+  commit writes a small parquet of key values and records it in the
+  manifest — no data file is rewritten; ``load`` applies merge-on-read
+  anti-joins with SEQUENCE correctness (a delete only filters data
+  files committed BEFORE it, so a key re-appended after the delete
+  survives — Iceberg's sequence-number rule). A DataFrame rewrite of
+  the table compacts deletes away; by-reference appends inherit them;
 - maintenance = ``expire_snapshots(keep_last=N)``: drops all older
   manifests and sweeps catalog-owned data dirs no surviving manifest
   references (Iceberg's expire_snapshots + remove_orphan_files) — at
@@ -251,7 +258,38 @@ class IceliteCatalog:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(info["schema"]))
-        return reader.parquet(*paths)
+        deletes = info.get("deletes") or []
+        if not deletes or not info.get("files"):
+            return reader.parquet(*paths)
+        return self._apply_deletes(spark, reader, info, deletes)
+
+    def _apply_deletes(self, spark, reader, info, deletes) -> DataFrame:
+        """Merge-on-read with Iceberg's sequence-number rule: a delete
+        filters only data files whose commit seq PRECEDES the delete's.
+        Deletes are manifest-ordered by seq, so the deletes applicable
+        to a file form a SUFFIX of that list — files group by suffix
+        start, each group anti-joins its suffix, groups union. Delete
+        files are tiny key sets (AQE broadcasts the anti-join build
+        side); the union is #distinct-delete-boundaries wide, not
+        #files."""
+        from functools import reduce
+
+        dseqs = [d["seq"] for d in deletes]
+        groups: dict[int, list[str]] = {}
+        for f in info["files"]:
+            fseq = f.get("seq", -1)
+            start = next((i for i, s in enumerate(dseqs) if s > fseq), len(dseqs))
+            groups.setdefault(start, []).append(
+                os.path.join(self.root, f["file"])
+            )
+        parts = []
+        for start, files in sorted(groups.items()):
+            df = reader.parquet(*files)
+            for d in deletes[start:]:
+                keys = spark.read.parquet(os.path.join(self.root, d["path"]))
+                df = df.join(keys, on=list(d["equality_cols"]), how="left_anti")
+            parts.append(df)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def prune_files(
         self, snapshot: Snapshot, name: str, col: str, lo, hi
@@ -370,15 +408,36 @@ class IceliteCatalog:
             unknown = sum(1 for f in files if f["rows"] is None)
             return known, unknown
 
+        def _assign_seq(name: str, files: list[dict[str, Any]]) -> None:
+            """Iceberg sequence numbers: a file keeps the seq of the
+            commit that first added it (inherited by path from the
+            parent manifest); fresh files get THIS commit's seq. The
+            equality-delete reader uses this to scope deletes to data
+            older than the delete."""
+            prev = {}
+            if parent is not None and name in parent.tables:
+                prev = {
+                    f["file"]: f.get("seq", -1)
+                    for f in parent.tables[name].get("files", [])
+                }
+            for f in files:
+                f["seq"] = prev.get(f["file"], sid)
+
         for name, df in dfs.items():
             if isinstance(df, list):
                 rels = [os.path.relpath(p, self.root) for p in df]
                 files = [f for p in df for f in _scan(p, name)]
+                _assign_seq(name, files)
                 rows, unknown = _rows_total(files)
                 tables[name] = {
                     "paths": rels, "rows": rows, "files": files,
                     "lineage": _lineage(name, files),
                 }
+                # a by-reference APPEND keeps the parent's equality
+                # deletes in force (nothing was rewritten); fresh files
+                # carry seq = this commit, so older deletes skip them
+                if parent is not None and parent.tables.get(name, {}).get("deletes"):
+                    tables[name]["deletes"] = list(parent.tables[name]["deletes"])
                 if table_schemas.get(name) is not None:
                     tables[name]["schema"] = table_schemas[name]
                 if unknown:
@@ -396,10 +455,14 @@ class IceliteCatalog:
                     writer = writer.partitionBy(*pby)
                 writer.parquet(path)
                 files = _scan(path, name)
+                _assign_seq(name, files)
                 ann = (file_annotators or {}).get(name)
                 if ann is not None and files:
                     ann(path, files)
                 rows, unknown = _rows_total(files)
+                # a DataFrame commit REWRITES the table: the caller
+                # materialized current state (deletes applied on load),
+                # so parent deletes are compacted away — none inherited
             tables[name] = {
                 "path": rel, "rows": rows, "files": files,
                 "lineage": _lineage(name, files),
@@ -409,8 +472,14 @@ class IceliteCatalog:
             if unknown:
                 tables[name]["rows_unknown"] = unknown
         snap = Snapshot(sid, parent.snapshot_id if parent else None, tables, meta)
+        self._write_snapshot(snap)
+        return snap
 
-        mrel = os.path.join("manifests", f"snapshot-{sid:06d}.json")
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic manifest + pointer flip (data files are already on
+        disk): manifest lands via tmp+os.replace, then ``_current`` —
+        a crash between the two leaves the previous snapshot current."""
+        mrel = os.path.join("manifests", f"snapshot-{snap.snapshot_id:06d}.json")
         mpath = os.path.join(self.root, mrel)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -420,6 +489,51 @@ class IceliteCatalog:
         with open(cur_tmp, "w") as f:
             f.write(mrel)
         os.replace(cur_tmp, os.path.join(self.root, "_current"))
+
+    def commit_delete(
+        self,
+        name: str,
+        keys: DataFrame,
+        equality_cols: list[str],
+        meta: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Iceberg-v2 EQUALITY-DELETE commit: write ``keys`` (projected
+        to ``equality_cols``, deduplicated) as a small parquet delete
+        file and record it in the manifest — NO data file is rewritten,
+        every table entry carries over by reference. ``load`` then
+        anti-joins the delete keys against data files whose seq precedes
+        this commit's (sequence rule: rows re-appended later survive).
+        O(delete keys) write cost regardless of table size — the
+        row-level-delete path a 10^10-row frontier needs (deleting a
+        domain's URLs without touching 10 TB of data files)."""
+        parent = self.latest()
+        if parent is None or name not in parent.tables:
+            raise KeyError(f"no table {name!r} in the current snapshot")
+        sid = parent.snapshot_id + 1
+        rel = os.path.join("data", f"snap-{sid:06d}", f"{name}__eqdel")
+        path = os.path.join(self.root, rel)
+        keys.select(*equality_cols).distinct().write.mode("overwrite").parquet(path)
+        n_keys = sum(
+            e["rows"] or 0 for e in scan_parquet_stats(path, ())
+        )
+
+        tables = {t: dict(info) for t, info in parent.tables.items()}
+        entry = tables[name]
+        entry["deletes"] = list(entry.get("deletes") or []) + [
+            {
+                "path": rel,
+                "equality_cols": list(equality_cols),
+                "seq": sid,
+                "rows": n_keys,
+            }
+        ]
+        entry["lineage"] = {
+            "added": [],
+            "removed": [],
+            "existing": len(entry.get("files", [])),
+        }
+        snap = Snapshot(sid, parent.snapshot_id, tables, meta or {})
+        self._write_snapshot(snap)
         return snap
 
     def rollback(self, snapshot_id: int) -> Snapshot:
@@ -511,6 +625,10 @@ class IceliteCatalog:
                 rels = info.get("paths") or (
                     [info["path"]] if info.get("path") else []
                 )
+                # equality-delete files are data too: a surviving
+                # manifest's deletes must outlive the sweep or its
+                # merge-on-read loads would resurrect deleted rows
+                rels = rels + [dl["path"] for dl in info.get("deletes") or []]
                 for r in rels:
                     protected.add(os.path.normpath(os.path.join(self.root, r)))
 
