@@ -812,6 +812,20 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketches.py): d=4 × w=256
+    cells over every token occurrence, estimates beside exact counts for
+    the true top-20 tokens. The sketch hashes with the shared md5-60,
+    so unlike the HLL/KLL queries it is bit-identical cross-engine —
+    a sketch with a FULL value-hash DuckDB twin. cms_n >= exact_n always
+    (CMS one-sided error); fixed memory at any corpus size."""
+    from crawlspark.operators import sketches as SK
+
+    return SK.cms_heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text", k=20
+    ).orderBy("word")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO / SCD latest-wins resolution (operators/merge.py) —
     the engine's frontier merge-on-read pattern as a standalone
@@ -1693,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_read_delete": q_merge_on_read_delete,
         "xmodal_neardup": q_xmodal_neardup,
         "approx_distinct": q_approx_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "cumulative_spend": q_cumulative_spend,
         "sessionize_stream": q_sessionize_stream,
         "dedup_stream": q_dedup_stream,
@@ -2358,6 +2373,30 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_changelog": """
           select o_orderkey, o_totalprice from orders
           where o_orderkey % 3 = 0 order by o_orderkey
+        """,
+        "cms_heavy_hitters": f"""
+          with tok as (
+            select unnest({TOK_SQL.format(c='text')}) as t from documents
+          ), dims as (select * from (values (0), (1), (2), (3)) as v(i)),
+          h as (
+            select t, i,
+                   ('0x' || substr(md5(i::VARCHAR || '#' || t), 1, 15))::BIGINT
+                     % 256 as b
+            from tok cross join dims
+          ),
+          sketch as (select i, b, count(*) as cell_n from h group by 1, 2),
+          ex as (select t, count(*) as exact_n from tok group by t),
+          top as (select t, exact_n from ex order by exact_n desc, t limit 20),
+          probe as (
+            select top.t, top.exact_n, d.i,
+                   ('0x' || substr(md5(d.i::VARCHAR || '#' || top.t), 1, 15))::BIGINT
+                     % 256 as b
+            from top cross join dims d
+          )
+          select p.t as word, p.exact_n, min(s.cell_n) as cms_n
+          from probe p join sketch s on s.i = p.i and s.b = p.b
+          group by 1, 2
+          order by word
         """,
         "merge_on_read_delete": """
           select o_orderkey, o_totalprice from orders

@@ -354,3 +354,19 @@ def test_sample_weighted_ares_exact(spark):
     # zero/negative weights never qualify
     df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], ["doc_id", "w"])
     assert [r["doc_id"] for r in SP.sample_weighted(df2, "w", k=3).collect()] == [3]
+
+
+def test_cms_overestimates_and_tracks_exact(spark):
+    from crawlspark.operators import sketches as SK
+
+    docs = spark.createDataFrame(
+        [(i, "alpha " * (i % 5 + 1) + "beta gamma") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    got = {r["word"]: (r["exact_n"], r["cms_n"])
+           for r in SK.cms_heavy_hitters(docs, "text", k=3).collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["beta"][0] == 40 and got["gamma"][0] == 40
+    assert got["alpha"][0] == sum(i % 5 + 1 for i in range(40))
+    # CMS one-sided error: estimates never undercount
+    assert all(cms >= exact for exact, cms in got.values())
