@@ -35,6 +35,11 @@ QUERIES = [
     "pagerank",
     "image_gate",
     "recrawl_schedule",
+    "passage_dedup",
+    "sample_weighted",
+    "cms_heavy_hitters",
+    "xmodal_neardup",
+    "merge_on_read_delete",
 ]
 
 
