@@ -263,6 +263,17 @@ class CrawlEngine:
         # reads only per-key head files (footer/manifest bounds) + deltas
         # + tombstones instead of the whole frontier
         self._heads_sched = bool(config.extra.get("heads_scheduling", True))
+        # opt-in priority scheduling (the north_star's "priority queue
+        # realized as window-ranked micro-batches", end-to-end in the
+        # engine): extra["priority_col"] names a pending column ranked
+        # ASC before discovery_seq within each politeness key — e.g.
+        # "depth" schedules shallow URLs first. Default None keeps the
+        # reference's pure FIFO (conformance schedules byte-identical).
+        # Heads pruning assumes FIFO-by-seq file order, so priority mode
+        # always scans the full frontier for scheduling.
+        self._priority_col: str | None = config.extra.get("priority_col")
+        if self._priority_col:
+            self._heads_sched = False
         self._sorted_base: str | None = None  # path of the sorted base part
         self._fstats_cache: dict[str, list[dict]] = {}
         # target rows per data file in the compacted layout — file count
@@ -1005,7 +1016,11 @@ class CrawlEngine:
         if blocked is not None:
             sched_src = sched_src.join(blocked, self._key_col, "left_anti")
         sched = self._mat(
-            schedule_round(sched_src, cfg.per_domain_quota, self._key_col), "sched"
+            schedule_round(
+                sched_src, cfg.per_domain_quota, self._key_col,
+                order_col=self._priority_col,
+            ),
+            "sched",
         )
         n_sched = fast_count(sched)
         _mark("schedule")

@@ -247,6 +247,10 @@ class OracleCrawl:
         self.round_no += 1
         cfg = self.config
         respect_delay = bool(cfg.extra.get("respect_crawl_delay"))
+        # opt-in priority scheduling: rank the per-domain queue by
+        # (priority_col asc, seq asc) instead of pure FIFO — mirrors
+        # engine schedule_round(order_col=...); None = reference FIFO
+        prio = cfg.extra.get("priority_col")
         scheduled: list[str] = []
         for dom in list(self.queues):
             q = self.queues[dom]
@@ -254,8 +258,16 @@ class OracleCrawl:
                 dr = self.crawl_delays.get(self.rows[q[0]].rdom, 1)
                 if dr > 1 and self.round_no - self.last_sched.get(dom, -(10**9)) < dr:
                     continue  # domain still inside its Crawl-delay window
-            take = q[: cfg.per_domain_quota]
-            self.queues[dom] = q[cfg.per_domain_quota :]
+            if prio:
+                ranked = sorted(
+                    q, key=lambda k: (getattr(self.rows[k], prio), self.rows[k].seq)
+                )
+                take = ranked[: cfg.per_domain_quota]
+                taken = set(take)
+                self.queues[dom] = [k for k in q if k not in taken]
+            else:
+                take = q[: cfg.per_domain_quota]
+                self.queues[dom] = q[cfg.per_domain_quota :]
             if not self.queues[dom]:
                 del self.queues[dom]
             if respect_delay and take:
