@@ -354,6 +354,19 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (MinHash-LSH →
+    connected components) then keep the HIGHEST-quality member per
+    cluster (frozen quality_score; ties → smallest doc_id). Winner is a
+    map-side-partial min(struct(-quality, doc_id)) aggregate, never a
+    per-cluster window sort — a 10^8-member boilerplate cluster is one
+    shuffle key, not one sort partition. Oracle: recursive-CTE closure +
+    the quality twin + row_number."""
+    return DD.dedup_keep_best(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
+    ).orderBy("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Near-dup pairs at Hamming <= 8 over the 60-bit expression simhash.
     Candidates via LSH banding (10 bands x 6 bits): a pair differing in
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,
@@ -1840,11 +1854,12 @@ def _pack_token_budget_sql() -> str:
     """
 
 
-def _dedup_clusters_sql(threshold: float) -> str:
-    """Twin of q_dedup_clusters: the exact-Jaccard pair graph (same body
-    as _jaccard_sql) + transitive closure by recursive CTE — reach(v, r)
+def _closure_ctes(threshold: float) -> str:
+    """Shared CTE prefix: the exact-Jaccard pair graph (same body as
+    _jaccard_sql) + transitive closure by recursive CTE — reach(v, r)
     enumerates every vertex reachable from v, min(r) is the component
-    label, docs in no pair are singleton components."""
+    label; docs in no pair are singleton components (handled by the
+    callers' coalesce)."""
     shingles = (
         "(select list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
         "for i in range(1, greatest(len(l)-2, 0)+1)]) "
@@ -1879,12 +1894,54 @@ def _dedup_clusters_sql(threshold: float) -> str:
         select rc.v, e.dst from reach rc join edges e on e.src = rc.r
       ),
       comp as (select v, min(r) as component from reach group by v)
+    """
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Twin of q_dedup_clusters: transitive closure (_closure_ctes) +
+    canonical = smallest doc_id per component."""
+    return f"""
+      {_closure_ctes(threshold)}
       select d.doc_id,
              coalesce(c.component, d.doc_id) as component,
              cast(coalesce(c.component, d.doc_id) = d.doc_id as int) as is_canonical
       from documents d
       left join comp c on c.v = d.doc_id
       order by doc_id
+    """
+
+
+def _dedup_keep_best_sql(threshold: float) -> str:
+    """Twin of q_dedup_keep_best: transitive closure (_closure_ctes) +
+    the frozen quality twin + keep = row_number() = 1 under
+    (quality desc, doc_id asc) per component — identical order to
+    Spark's min(struct(-quality, doc_id)) winner."""
+    return f"""
+      {_closure_ctes(threshold)},
+      clus as (
+        select d.doc_id, coalesce(c.component, d.doc_id) as component
+        from documents d
+        left join comp c on c.v = d.doc_id
+      ),
+      qual as (
+        select doc_id,
+          round(0.4 * least(1.0, n_tok / 100.0)
+            + 0.3 * (case when n_tok > 0 then n_stop * 1.0 / n_tok else 0.0 end)
+            + 0.3 * (1.0 - (case when len_t > 0 then n_punct * 1.0 / len_t else 0.0 end)), 6) as quality
+        from (
+          select doc_id,
+            len({TOK_SQL.format(c='text')}) as n_tok,
+            len(list_filter({TOK_SQL.format(c='text')}, t -> t in ({STOP_SQL}))) as n_stop,
+            length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) as n_punct,
+            length(text) as len_t
+          from documents)
+      )
+      select clus.doc_id, clus.component, qual.quality,
+             cast(row_number() over (
+               partition by clus.component
+               order by qual.quality desc, clus.doc_id asc) = 1 as int) as keep
+      from clus join qual on qual.doc_id = clus.doc_id
+      order by clus.doc_id
     """
 
 
@@ -2238,6 +2295,7 @@ def oracle_sql() -> dict[str, str]:
         # so the output equals the exact-jaccard pairs
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
+        "dedup_keep_best": _dedup_keep_best_sql(0.8),
         "sample_stratified": _sample_stratified_sql(),
         "sample_weighted": """
           select doc_id, n_chars,

@@ -855,3 +855,56 @@ def dedup_clusters(
             "is_canonical", (F.col("doc_id") == F.col("component")).cast("int")
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Canonical-document selection — the step after clustering in a
+    training-data dedup pipeline: instead of keeping the smallest id per
+    near-dup cluster (``dedup_clusters``), keep the HIGHEST-QUALITY
+    member (``functions.text.quality_score``; ties → smallest id), so
+    the surviving corpus is the best copy of each duplicated document,
+    not an arbitrary one. The reference keeps whichever URL it crawled
+    first (crawler/frontier.py seen-set semantics); a training pipeline
+    wants the best-quality representative instead.
+
+    Scale: winner-per-cluster is a map-side-partial ``min`` aggregate of
+    ``struct(-quality, doc_id)`` — NOT a window sort — so a degenerate
+    boilerplate cluster with 10^8 members costs one partial-aggregated
+    shuffle key, never a single-partition sort. The join back to mark
+    keep=1 is component-keyed (hash join; AQE handles the one hot
+    component).
+
+    Returns (doc_id, component, quality, keep:int).
+    """
+    from crawlspark.functions.text import quality_score
+
+    clusters = _persist(
+        dedup_clusters(docs, id_col, text_col, n, threshold).select(
+            "doc_id", "component"
+        )
+    )
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            quality_score(F.col(text_col)).alias("quality"),
+        ),
+        "doc_id",
+    )
+    winners = scored.groupBy("component").agg(
+        F.min(F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))).alias("w")
+    ).select("component", F.col("w.doc_id").alias("best_id"))
+    return (
+        scored.join(winners, "component")
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("doc_id") == F.col("best_id")).cast("int").alias("keep"),
+        )
+    )

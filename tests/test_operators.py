@@ -176,6 +176,38 @@ def test_connected_components_and_dedup_clusters(spark):
     assert out[4] == (4, 1)
 
 
+def test_dedup_keep_best_prefers_quality_over_id(spark):
+    # docs 1-3 form one near-dup cluster; doc 3 has the most tokens →
+    # highest frozen quality_score, so keep_best picks it over the
+    # smallest id that dedup_clusters would keep. doc 4 is a singleton
+    # (always kept).
+    base = "alpha beta gamma delta epsilon zeta eta"
+    texts = [
+        (1, base + " theta"),
+        (2, base + " iota"),
+        (3, base + " theta iota kappa lam mu nu xi omicron pi rho sigma"),
+        (4, "totally different words entirely here now yes ok"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in DD.dedup_keep_best(df, "doc_id", "text", 3, 0.3).collect()
+    }
+    assert out[3] == (1, 1)           # best quality wins the cluster
+    assert out[1] == (1, 0) and out[2] == (1, 0)
+    assert out[4] == (4, 1)           # singleton keeps itself
+
+    # tie on quality → smallest doc_id wins (docs 5/6 identical text)
+    tie = spark.createDataFrame(
+        [(5, base + " theta"), (6, base + " theta")], ["doc_id", "text"]
+    )
+    tout = {
+        r["doc_id"]: r["keep"]
+        for r in DD.dedup_keep_best(tie, "doc_id", "text", 3, 0.3).collect()
+    }
+    assert tout == {5: 1, 6: 0}
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 64-vertex path graph (63 hops — past the old max_iter=25 cap of
     # the diameter-bound propagation): pointer doubling must converge in
