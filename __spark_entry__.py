@@ -354,6 +354,20 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus:
+    one corpus pass builds the word-frequency table, then each of 16
+    merges is a single JVM-side pair-count aggregate + array fold (see
+    operators/bpe.py for the 100 TB story). Iterative — no single-SQL
+    twin exists, so this is rows-only by contract; values are pinned by
+    the pure-Python twin in tests/test_bpe.py."""
+    from crawlspark.operators import bpe as B
+
+    return B.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=16
+    ).orderBy("rank")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-document selection: near-dup clusters (MinHash-LSH →
     connected components) then keep the HIGHEST-quality member per
@@ -1680,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "bpe_train": q_bpe_train,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,

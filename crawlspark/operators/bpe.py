@@ -1,0 +1,167 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The missing tokenizer-side operator of a training-data pipeline: learn a
+subword merge table over the corpus itself. Algorithm is the public
+Sennrich et al. 2016 procedure (as popularized by subword-nmt /
+GPT-2-style BPE): start from characters + an end-of-word marker,
+repeatedly merge the most frequent adjacent symbol pair.
+
+Scale story (the 100 TB lens):
+- BPE iterates over a WORD-FREQUENCY table, not the corpus. The corpus
+  is touched exactly once: ``explode(tokens(text)) → groupBy(word)`` —
+  a map-side-partial count that collapses 100 TB of text to a
+  vocabulary-sized weighted table (10^6–10^8 rows).
+- Every merge iteration is then (a) one pair-count aggregate over that
+  table (``zip_with`` adjacent symbols → explode → sum(weight), all
+  JVM-side, partial-aggregated) and (b) one greedy left-to-right fold
+  (``F.aggregate`` higher-order function — whole-stage codegen, no
+  Python) applying the winning merge to each word's symbol array.
+- Driver traffic is ONE (pair, count) row per merge — no corpus-sized
+  collect anywhere.
+- Lineage is truncated per iteration with ``localCheckpoint`` (the
+  symbol table is vocabulary-sized; a production run on a lossy cluster
+  would swap in a reliable checkpoint dir, same as the engine's
+  parquet-scratch pattern in dedup.connected_components).
+
+Determinism (frozen so the pure-Python twin in tests can pin values):
+ties on pair count break by (left asc, right asc); training stops early
+when the best pair's weighted count drops below ``min_count``.
+
+Reference parity note: the reference crawler has no tokenizer training —
+this is part of the brief's "operations a large-scale training-data
+pipeline would need" surface (its scraper tokenizes with a frozen regex,
+reference scraper.py; the same frozen tokenizer feeds this trainer via
+functions.text.tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawlspark.functions.text import tokens
+
+EOW = "</w>"  # end-of-word marker, per the public BPE formulation
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) → left+right
+    inside an array<string>, as a single codegen'd fold: acc keeps the
+    rebuilt array; when its last element is `left` and the next symbol
+    is `right`, the pair collapses (so 'a a a' under merge (a,a) yields
+    ['aa','a'], matching the reference greedy scan)."""
+    merged = F.array(F.lit(left + right))
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", min_word_count: int = 1
+) -> DataFrame:
+    """One pass over the corpus: (syms: array<string>, wt: long) — each
+    distinct word split to characters + EOW, weighted by corpus count.
+    This is the only corpus-sized job in BPE training."""
+    wf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wt"))
+    )
+    if min_word_count > 1:
+        wf = wf.filter(F.col("wt") >= min_word_count)
+    return wf.select(
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
+        "wt",
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 24,
+    text_col: str = "text",
+    min_count: int = 2,
+    min_word_count: int = 1,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table (rank, left, right, merged, weight) — ranks in learned order,
+    weight = the pair's weighted corpus count when it won. Deterministic
+    (frozen tie-break) so repeated runs and the pure-Python twin agree
+    exactly."""
+    spark = docs.sparkSession
+    wf = word_freq_table(docs, text_col, min_word_count).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            pairs = wf.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "wt",
+            )
+            best = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["c"] < min_count:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, l + r, c))
+            nxt = wf.select(
+                _apply_merge(F.col("syms"), l, r).alias("syms"), "wt"
+            ).localCheckpoint()
+            wf.unpersist()
+            wf = nxt
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, weight long"
+    )
+
+
+def bpe_train_python(
+    word_counts: dict[str, int],
+    n_merges: int = 24,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Pure-Python twin of ``bpe_train`` over a word→count dict (same
+    frozen tie-break); the conformance oracle for pytest value goldens —
+    kept beside the operator so drift is impossible to miss."""
+    wf: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], c) for w, c in word_counts.items()
+    ]
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in wf:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        out.append((l, r, c))
+        merged = l + r
+        nwf = []
+        for syms, wt in wf:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            nwf.append((acc, wt))
+        wf = nwf
+    return out
