@@ -354,6 +354,20 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_shard_stats(spark, sf_dir):
+    """Deterministic global shuffle + balanced shard export audit: shard
+    = md5-60(doc_id) mod 8 (the shared cross-engine hash — stable under
+    retry/repartition), within-shard order = hash order (a reproducible
+    permutation, no global sort). Returns per-shard row/char totals and
+    the id leading each shard's shuffle order (min_by, map-side
+    partial)."""
+    from crawlspark.operators import sharding as SH
+
+    return SH.shard_stats(
+        _t(spark, sf_dir, "documents"), 8
+    ).orderBy("shard")
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training over the documents corpus:
     one corpus pass builds the word-frequency table, then each of 16
@@ -1695,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
+        "shard_stats": q_shard_stats,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,
@@ -2311,6 +2326,28 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
+        "shard_stats": """
+          with a as (
+            select doc_id, n_chars,
+              cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 as int) as shard,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT as shuffle_key
+            from documents
+          ),
+          s as (
+            select shard, count(*) as n_docs, sum(n_chars) as total_chars
+            from a group by shard
+          ),
+          f as (
+            select shard, doc_id as first_doc_id
+            from (select shard, doc_id, row_number() over (
+                    partition by shard order by shuffle_key, doc_id) as rn
+                  from a)
+            where rn = 1
+          )
+          select s.shard, s.n_docs, s.total_chars, f.first_doc_id
+          from s join f on f.shard = s.shard
+          order by s.shard
+        """,
         "sample_stratified": _sample_stratified_sql(),
         "sample_weighted": """
           select doc_id, n_chars,
