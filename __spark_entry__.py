@@ -354,6 +354,39 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST rule mining (Bar-Yossef et al. WWW'07): find query params
+    that provably never change content on a host, from (url, content
+    fingerprint) evidence alone — no joins, one explode + two hash
+    aggregates (operators/dust.py). Synthetic evidence: each doc emits
+    4 URL variants — two differing only in a session param (same
+    fingerprint → support), two differing in a mode param that CHANGES
+    the fingerprint (conflict → vetoed). Expected rules: (host, sess)
+    only."""
+    from crawlspark.operators import dust as DU
+
+    d = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 50).cast("string")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/item?id="), n
+    )
+    fp1 = F.md5(F.concat(F.lit("page"), n))
+    fp2 = F.md5(F.concat(F.lit("page"), n, F.lit("m2")))
+    variants = F.array(
+        F.struct(
+            F.concat(base, F.lit("&sess=s"), did).alias("url"), fp1.alias("fp")
+        ),
+        F.struct(
+            F.concat(base, F.lit("&sess=t"), did).alias("url"), fp1.alias("fp")
+        ),
+        F.struct(F.concat(base, F.lit("&mode=1")).alias("url"), fp1.alias("fp")),
+        F.struct(F.concat(base, F.lit("&mode=2")).alias("url"), fp2.alias("fp")),
+    )
+    pages = d.select(F.explode(variants).alias("p")).select("p.url", "p.fp")
+    return DU.dust_rules(pages, "url", "fp", 2).orderBy("host", "param")
+
+
 def q_shard_stats(spark, sf_dir):
     """Deterministic global shuffle + balanced shard export audit: shard
     = md5-60(doc_id) mod 8 (the shared cross-engine hash — stable under
@@ -1710,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
         "shard_stats": q_shard_stats,
+        "dust_rules": q_dust_rules,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,
@@ -2326,6 +2360,56 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
+        "dust_rules": """
+          with v as (
+            select source || '.example.com' as host,
+                   'id=' || (doc_id % 50)::VARCHAR || '&sess=s' || doc_id::VARCHAR as q,
+                   md5('page' || (doc_id % 50)::VARCHAR) as fp
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&sess=t' || doc_id::VARCHAR,
+                   md5('page' || (doc_id % 50)::VARCHAR)
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&mode=1',
+                   md5('page' || (doc_id % 50)::VARCHAR)
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&mode=2',
+                   md5('page' || (doc_id % 50)::VARCHAR || 'm2')
+            from documents
+          ),
+          ex as (
+            select host, q, fp,
+                   unnest(list_distinct(list_transform(
+                     string_split(q, '&'), kv -> string_split(kv, '=')[1]))) as k
+            from v
+          ),
+          g as (
+            select host, k,
+              '/item?' || array_to_string(list_sort(list_filter(
+                string_split(q, '&'), kv -> string_split(kv, '=')[1] <> k)), '&') as rest,
+              fp,
+              array_to_string(list_sort(list_transform(list_filter(
+                string_split(q, '&'), kv -> string_split(kv, '=')[1] = k),
+                kv -> string_split(kv, '=')[-1])), ',') as v
+            from ex
+          ),
+          grp as (
+            select host, k, rest,
+                   count(distinct fp) as n_fp, count(distinct v) as n_v
+            from g group by 1, 2, 3
+          )
+          select host, k as param,
+                 cast(sum(case when n_fp = 1 and n_v >= 2 then 1 else 0 end) as bigint) as support
+          from grp group by 1, 2
+          having support >= 2
+             and sum(case when n_fp >= 2 then 1 else 0 end) = 0
+          order by host, param
+        """,
         "shard_stats": """
           with a as (
             select doc_id, n_chars,

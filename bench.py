@@ -46,6 +46,10 @@ HEADLINE_QUERIES = [
     "passage_dedup",
     "minhash_lsh",
     "dedup_clusters",
+    "dedup_keep_best",
+    "bpe_train",
+    "shard_stats",
+    "dust_rules",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

@@ -40,6 +40,10 @@ QUERIES = [
     "cms_heavy_hitters",
     "xmodal_neardup",
     "merge_on_read_delete",
+    "dedup_keep_best",
+    "bpe_train",
+    "shard_stats",
+    "dust_rules",
 ]
 
 
