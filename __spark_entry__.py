@@ -415,6 +415,23 @@ def q_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Train 16 BPE merges on the corpus, then encode every document
+    with the learned table in ONE codegen'd projection (nested
+    higher-order folds, no Python worker, no shuffle) — reporting word /
+    symbol / BPE-token counts and the compression ratio a tokenizer
+    gate thresholds on. Iterative training has no SQL twin → rows-only
+    by contract; values pinned by the pure-Python twins in
+    tests/test_bpe.py."""
+    from crawlspark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    m = B.bpe_train(docs, n_merges=16).orderBy("rank").collect()
+    return B.bpe_encode(
+        docs, [(r["left"], r["right"]) for r in m]
+    ).orderBy("doc_id")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-document selection: near-dup clusters (MinHash-LSH →
     connected components) then keep the HIGHEST-quality member per
@@ -1742,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "shard_stats": q_shard_stats,
         "dust_rules": q_dust_rules,
         "sample_stratified": q_sample_stratified,

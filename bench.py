@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "dedup_clusters",
     "dedup_keep_best",
     "bpe_train",
+    "bpe_encode",
     "shard_stats",
     "dust_rules",
     "simhash_pairs",

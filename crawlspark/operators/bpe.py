@@ -165,3 +165,79 @@ def bpe_train_python(
             nwf.append((acc, wt))
         wf = nwf
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table (rank order) to every document and
+    report token statistics: (id, n_words, n_chars_tok, n_bpe_tokens,
+    compression) — compression = BPE tokens per character-level symbol,
+    the number a tokenizer-quality gate thresholds on.
+
+    All JVM-side: the merge list is baked into ONE projection as nested
+    ``transform``/``aggregate`` higher-order expressions (no Python
+    worker, no shuffle — embarrassingly parallel over documents). The
+    merge table is vocabulary-sized driver state (tens to thousands of
+    rows), never data-sized."""
+    syms = F.transform(
+        tokens(F.col(text_col)),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),
+    )
+    def _merge_level(l: str, r: str):
+        # bind loop vars eagerly via a factory — a bare closure would
+        # late-bind every level to the LAST merge, and default-arg
+        # binding breaks pyspark's lambda-arity inspection
+        return lambda s: _apply_merge(s, l, r)
+
+    for left, right in merges:
+        syms = F.transform(syms, _merge_level(left, right))
+    n_char = F.aggregate(
+        F.transform(
+            tokens(F.col(text_col)), lambda w: F.length(w) + 1
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("n_words"),
+            n_char.alias("n_chars_tok"),
+            F.aggregate(
+                F.transform(syms, F.size),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.when(
+                F.col("n_chars_tok") > 0,
+                F.round(F.col("n_bpe_tokens") / F.col("n_chars_tok"), 6),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+    )
+
+
+def bpe_encode_python(
+    text_words: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Pure-Python twin of one document's encode (greedy fold per merge
+    in rank order); pins values for the rows-only driver query."""
+    out: list[str] = []
+    for w in text_words:
+        syms = list(w) + [EOW]
+        for l, r in merges:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            syms = acc
+        out.extend(syms)
+    return out

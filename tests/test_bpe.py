@@ -52,6 +52,23 @@ def test_bpe_greedy_overlap_and_min_count():
     assert B.bpe_train_python({"ab": 1}, n_merges=5, min_count=2) == []
 
 
+def test_bpe_encode_matches_python_twin(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    merges = [(l, r) for l, r, _ in B.bpe_train_python(_wc(TEXTS), n_merges=12)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars_tok"], r["n_bpe_tokens"])
+        for r in B.bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        enc = B.bpe_encode_python(words, merges)
+        n_chars = sum(len(w) + 1 for w in words)
+        assert got[i] == (len(words), n_chars, len(enc)), i
+        assert len(enc) < n_chars  # merges actually compress
+
+
 def test_bpe_apply_merge_fold_greedy(spark):
     # the JVM-side fold matches the twin's greedy scan on overlaps
     df = spark.createDataFrame([(["a", "a", "a", "b"],)], ["syms"])
