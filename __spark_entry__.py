@@ -354,18 +354,11 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def q_dust_rules(spark, sf_dir):
-    """DUST rule mining (Bar-Yossef et al. WWW'07): find query params
-    that provably never change content on a host, from (url, content
-    fingerprint) evidence alone — no joins, one explode + two hash
-    aggregates (operators/dust.py). Synthetic evidence: each doc emits
+def _dust_pages(d: DataFrame) -> DataFrame:
+    """Synthetic (url, fp) DUST evidence from documents: each doc emits
     4 URL variants — two differing only in a session param (same
     fingerprint → support), two differing in a mode param that CHANGES
-    the fingerprint (conflict → vetoed). Expected rules: (host, sess)
-    only."""
-    from crawlspark.operators import dust as DU
-
-    d = _t(spark, sf_dir, "documents")
+    the fingerprint (conflict → vetoed)."""
     n = (F.col("doc_id") % 50).cast("string")
     did = F.col("doc_id").cast("string")
     base = F.concat(
@@ -383,8 +376,41 @@ def q_dust_rules(spark, sf_dir):
         F.struct(F.concat(base, F.lit("&mode=1")).alias("url"), fp1.alias("fp")),
         F.struct(F.concat(base, F.lit("&mode=2")).alias("url"), fp2.alias("fp")),
     )
-    pages = d.select(F.explode(variants).alias("p")).select("p.url", "p.fp")
+    return d.select(F.explode(variants).alias("p")).select("p.url", "p.fp")
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST rule mining (Bar-Yossef et al. WWW'07): find query params
+    that provably never change content on a host, from (url, content
+    fingerprint) evidence alone — no joins, one explode + two hash
+    aggregates (operators/dust.py). Over the _dust_pages synthetic
+    evidence the expected rules are (host, sess) only."""
+    from crawlspark.operators import dust as DU
+
+    pages = _dust_pages(_t(spark, sf_dir, "documents"))
     return DU.dust_rules(pages, "url", "fp", 2).orderBy("host", "param")
+
+
+def q_dust_apply(spark, sf_dir):
+    """Close the DUST loop: mine the rules, rewrite every URL by
+    stripping the mined params (broadcast rule table, codegen'd string
+    rewrite — operators/dust.py apply_dust_rules), and report the
+    frontier collapse per host: distinct URLs before vs after. The
+    session-param variants fold into one canonical URL each; the
+    load-bearing id/mode params survive."""
+    from crawlspark.operators import dust as DU
+
+    pages = _dust_pages(_t(spark, sf_dir, "documents"))
+    rules = DU.dust_rules(pages, "url", "fp", 2)
+    rw = DU.apply_dust_rules(pages, rules, "url")
+    return (
+        rw.groupBy("host")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("rewritten_url").alias("n_canonical"),
+        )
+        .orderBy("host")
+    )
 
 
 def q_shard_stats(spark, sf_dir):
@@ -1762,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "shard_stats": q_shard_stats,
         "dust_rules": q_dust_rules,
+        "dust_apply": q_dust_apply,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_token_budget": q_pack_token_budget,
@@ -1934,6 +1961,63 @@ def _pack_token_budget_sql() -> str:
       from t
       order by doc_id
     """
+
+
+# Shared CTE prefix for the DUST twins: the 4-variant synthetic evidence
+# (mirrors _dust_pages), the per-(host,param,rest) evidence groups, and
+# the mined `rules` — dust_rules selects from it, dust_apply extends it
+# with the rewrite.
+_DUST_CTES = """
+          with v as (
+            select source || '.example.com' as host,
+                   'id=' || (doc_id % 50)::VARCHAR || '&sess=s' || doc_id::VARCHAR as q,
+                   md5('page' || (doc_id % 50)::VARCHAR) as fp
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&sess=t' || doc_id::VARCHAR,
+                   md5('page' || (doc_id % 50)::VARCHAR)
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&mode=1',
+                   md5('page' || (doc_id % 50)::VARCHAR)
+            from documents
+            union all
+            select source || '.example.com',
+                   'id=' || (doc_id % 50)::VARCHAR || '&mode=2',
+                   md5('page' || (doc_id % 50)::VARCHAR || 'm2')
+            from documents
+          ),
+          ex as (
+            select host, q, fp,
+                   unnest(list_distinct(list_transform(
+                     string_split(q, '&'), kv -> string_split(kv, '=')[1]))) as k
+            from v
+          ),
+          g as (
+            select host, k,
+              '/item?' || array_to_string(list_sort(list_filter(
+                string_split(q, '&'), kv -> string_split(kv, '=')[1] <> k)), '&') as rest,
+              fp,
+              array_to_string(list_sort(list_transform(list_filter(
+                string_split(q, '&'), kv -> string_split(kv, '=')[1] = k),
+                kv -> string_split(kv, '=')[-1])), ',') as v
+            from ex
+          ),
+          grp as (
+            select host, k, rest,
+                   count(distinct fp) as n_fp, count(distinct v) as n_v
+            from g group by 1, 2, 3
+          ),
+          rules as (
+            select host, k,
+                   cast(sum(case when n_fp = 1 and n_v >= 2 then 1 else 0 end) as bigint) as support
+            from grp group by 1, 2
+            having support >= 2
+               and sum(case when n_fp >= 2 then 1 else 0 end) = 0
+          )
+"""
 
 
 def _closure_ctes(threshold: float) -> str:
@@ -2378,55 +2462,36 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
-        "dust_rules": """
-          with v as (
-            select source || '.example.com' as host,
-                   'id=' || (doc_id % 50)::VARCHAR || '&sess=s' || doc_id::VARCHAR as q,
-                   md5('page' || (doc_id % 50)::VARCHAR) as fp
-            from documents
-            union all
-            select source || '.example.com',
-                   'id=' || (doc_id % 50)::VARCHAR || '&sess=t' || doc_id::VARCHAR,
-                   md5('page' || (doc_id % 50)::VARCHAR)
-            from documents
-            union all
-            select source || '.example.com',
-                   'id=' || (doc_id % 50)::VARCHAR || '&mode=1',
-                   md5('page' || (doc_id % 50)::VARCHAR)
-            from documents
-            union all
-            select source || '.example.com',
-                   'id=' || (doc_id % 50)::VARCHAR || '&mode=2',
-                   md5('page' || (doc_id % 50)::VARCHAR || 'm2')
-            from documents
-          ),
-          ex as (
-            select host, q, fp,
-                   unnest(list_distinct(list_transform(
-                     string_split(q, '&'), kv -> string_split(kv, '=')[1]))) as k
-            from v
-          ),
-          g as (
-            select host, k,
-              '/item?' || array_to_string(list_sort(list_filter(
-                string_split(q, '&'), kv -> string_split(kv, '=')[1] <> k)), '&') as rest,
-              fp,
-              array_to_string(list_sort(list_transform(list_filter(
-                string_split(q, '&'), kv -> string_split(kv, '=')[1] = k),
-                kv -> string_split(kv, '=')[-1])), ',') as v
-            from ex
-          ),
-          grp as (
-            select host, k, rest,
-                   count(distinct fp) as n_fp, count(distinct v) as n_v
-            from g group by 1, 2, 3
-          )
-          select host, k as param,
-                 cast(sum(case when n_fp = 1 and n_v >= 2 then 1 else 0 end) as bigint) as support
-          from grp group by 1, 2
-          having support >= 2
-             and sum(case when n_fp >= 2 then 1 else 0 end) = 0
+        "dust_rules": _DUST_CTES + """
+          select host, k as param, support
+          from rules
           order by host, param
+        """,
+        "dust_apply": _DUST_CTES + """,
+          ragg as (
+            select host, list_sort(list(k)) as strip_params
+            from rules group by host
+          ),
+          rw as (
+            select v.host,
+              'http://' || v.host || '/item?' || v.q as url,
+              case when ragg.host is null
+                   then 'http://' || v.host || '/item?' || v.q
+                   else 'http://' || v.host || '/item' ||
+                     (case when len(list_filter(string_split(v.q, '&'),
+                             kv -> not list_contains(ragg.strip_params,
+                                                     string_split(kv, '=')[1]))) > 0
+                      then '?' || array_to_string(list_filter(string_split(v.q, '&'),
+                             kv -> not list_contains(ragg.strip_params,
+                                                     string_split(kv, '=')[1])), '&')
+                      else '' end)
+              end as rewritten_url
+            from v left join ragg on ragg.host = v.host
+          )
+          select host,
+                 count(distinct url) as n_urls,
+                 count(distinct rewritten_url) as n_canonical
+          from rw group by host order by host
         """,
         "shard_stats": """
           with a as (

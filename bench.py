@@ -51,6 +51,7 @@ HEADLINE_QUERIES = [
     "bpe_encode",
     "shard_stats",
     "dust_rules",
+    "dust_apply",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

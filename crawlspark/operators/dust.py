@@ -100,3 +100,48 @@ def dust_rules(
         .filter((F.col("support") >= min_support) & (F.col("conflicts") == 0))
         .select("host", "param", "support")
     )
+
+
+def apply_dust_rules(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rewrite URLs by stripping the mined content-irrelevant params —
+    the canonicalize-before-fetch step the rules exist for. ``rules`` is
+    dust_rules output (host, param[, support]). Returns the input plus
+    ``rewritten_url`` (scheme://host/path?remaining-params, original
+    param order preserved; '?' dropped when nothing remains).
+
+    Scale: rules are per-(host, param) — a few rows per host, collapsed
+    to host → param-array and broadcast into the page scan (rule tables
+    are KB-to-MB at web scale, never data-sized). The rewrite itself is
+    pure string/array expressions — codegen'd, shuffle-free."""
+    url = F.col(url_col)
+    key_of = lambda kv: F.substring_index(kv, "=", 1)  # noqa: E731
+    ragg = F.broadcast(
+        rules.groupBy("host").agg(
+            F.array_sort(F.collect_set("param")).alias("_strip")
+        )
+    )
+    kvs = F.filter(F.split(U.query(url), "&"), lambda kv: kv != "")
+    kept = F.filter(
+        kvs, lambda kv: ~F.array_contains(F.col("_strip"), key_of(kv))
+    )
+    rest = F.concat_ws("&", kept)
+    rewritten = F.concat(
+        U.scheme(url),
+        F.lit("://"),
+        U.hostname(url),
+        U.path(url),
+        F.when(rest != "", F.concat(F.lit("?"), rest)).otherwise(F.lit("")),
+    )
+    return (
+        pages.withColumn("host", U.hostname(url))
+        .join(ragg, "host", "left")
+        .withColumn(
+            "rewritten_url",
+            F.when(F.col("_strip").isNotNull(), rewritten).otherwise(url),
+        )
+        .drop("_strip")
+    )

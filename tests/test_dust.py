@@ -49,6 +49,55 @@ def test_rules_are_per_host_and_min_support(spark):
     assert out1 == {("a.com", "s"): 2, ("b.com", "s"): 1}
 
 
+def test_apply_rules_rewrites_only_ruled_hosts(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/p?sess=x&id=1", "F1"),
+            ("http://a.com/p?id=1&sess=y", "F1"),
+            ("http://b.com/p?sess=x&id=1", "G1"),   # no rule on b.com
+            ("http://a.com/plain", "F2"),           # no query at all
+        ],
+        ["url", "fp"],
+    )
+    rules = spark.createDataFrame([("a.com", "sess", 2)], ["host", "param", "support"])
+    out = {
+        r["url"]: r["rewritten_url"]
+        for r in DU.apply_dust_rules(pages, rules, "url").collect()
+    }
+    # both param orders collapse to ONE canonical URL; '?' dropped when
+    # nothing else remains would also hold (id survives here)
+    assert out["http://a.com/p?sess=x&id=1"] == "http://a.com/p?id=1"
+    assert out["http://a.com/p?id=1&sess=y"] == "http://a.com/p?id=1"
+    # un-ruled host and query-less URL pass through untouched
+    assert out["http://b.com/p?sess=x&id=1"] == "http://b.com/p?sess=x&id=1"
+    assert out["http://a.com/plain"] == "http://a.com/plain"
+
+    # end-to-end: mined rules shrink the frontier
+    mined = DU.dust_rules(
+        spark.createDataFrame(
+            [
+                ("http://c.com/p?id=1&s=x", "F1"),
+                ("http://c.com/p?id=1&s=y", "F1"),
+                ("http://c.com/p?id=2&s=x", "F2"),
+                ("http://c.com/p?id=2&s=y", "F2"),
+            ],
+            ["url", "fp"],
+        ),
+        "url",
+        "fp",
+        2,
+    )
+    rw = DU.apply_dust_rules(
+        spark.createDataFrame(
+            [("http://c.com/p?id=%d&s=%d" % (i % 2, i), "F") for i in range(8)],
+            ["url", "fp"],
+        ),
+        mined,
+        "url",
+    )
+    assert rw.select("rewritten_url").distinct().count() == 2  # id=0 / id=1
+
+
 def test_repeated_param_values_canonicalized(spark):
     # k appears twice: value signature is the sorted joined list, so
     # (t=1&t=2) == (t=2&t=1) is ONE value, not support evidence
