@@ -109,3 +109,54 @@ def test_revenue_by_nation_sql_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dust_rules_is_joinless_two_aggregates(spark):
+    """Rule mining must stay one explode + two hash aggregates — any
+    Join node means the plan regressed to a pairwise formulation that
+    dies on a hot host at web scale."""
+    from crawlspark.operators import dust as DU
+
+    pages = spark.createDataFrame(
+        [("http://a.com/p?id=1&s=x", "F1")], ["url", "fp"]
+    )
+    plan = _plan(DU.dust_rules(pages, "url", "fp", 2))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_apply_dust_rules_broadcasts_rule_table(spark):
+    """The rewrite joins the KB-sized rule table — it must broadcast,
+    never shuffle the page scan."""
+    from crawlspark.operators import dust as DU
+
+    pages = spark.createDataFrame(
+        [("http://a.com/p?id=1&s=x", "F1")], ["url", "fp"]
+    )
+    rules = spark.createDataFrame([("a.com", "s", 2)], ["host", "param", "support"])
+    plan = _plan(DU.apply_dust_rules(pages, rules, "url"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_stats_single_aggregate_exchange(spark):
+    """The shard audit is one partial-aggregated groupBy — exactly one
+    hash exchange over shard ids, no window, no sort."""
+    from crawlspark.operators import sharding as SH
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(SH.shard_stats(docs, 8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    # only the needed columns reach the scan
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_dedup_keep_best_winner_is_aggregate_not_window(spark):
+    """Canonical selection must pick winners via the map-side-partial
+    min(struct) aggregate — a per-component window sort would serialize
+    a degenerate boilerplate cluster onto one task."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(DD.dedup_keep_best(docs, "doc_id", "text", 3, 0.8))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
