@@ -86,14 +86,38 @@ def bpe_train(
     text_col: str = "text",
     min_count: int = 2,
     min_word_count: int = 1,
+    driver_vocab_threshold: int = 200_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table (rank, left, right, merged, weight) — ranks in learned order,
     weight = the pair's weighted corpus count when it won. Deterministic
     (frozen tie-break) so repeated runs and the pure-Python twin agree
-    exactly."""
+    exactly.
+
+    Size gate (same pattern as dedup.connected_components): after the
+    one corpus-sized pass, the word-frequency table is VOCABULARY-sized.
+    When it has ≤ ``driver_vocab_threshold`` distinct words, training
+    runs on the driver (one collect + the pure-Python loop) instead of
+    paying 2 Spark jobs per merge — byte-identical output by
+    construction (the distributed loop and ``bpe_train_python`` share
+    the frozen tie-break; equality asserted in tests/test_bpe.py). The
+    distributed loop remains the path for 10^6+-word corpora; pass
+    ``driver_vocab_threshold=0`` to force it."""
     spark = docs.sparkSession
     wf = word_freq_table(docs, text_col, min_word_count).localCheckpoint()
+    if driver_vocab_threshold and wf.count() <= driver_vocab_threshold:
+        rows = wf.select(
+            F.concat_ws("", F.slice(F.col("syms"), 1, F.size("syms") - 1)).alias("w"),
+            "wt",
+        ).collect()
+        wf.unpersist()
+        got = bpe_train_python(
+            {r["w"]: int(r["wt"]) for r in rows}, n_merges, min_count
+        )
+        return spark.createDataFrame(
+            [(i, l, r, l + r, c) for i, (l, r, c) in enumerate(got)],
+            "rank int, left string, right string, merged string, weight long",
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(n_merges):

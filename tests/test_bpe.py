@@ -30,12 +30,19 @@ def test_bpe_train_matches_python_twin(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
     )
-    out = B.bpe_train(docs, n_merges=20).orderBy("rank").collect()
     twin = B.bpe_train_python(_wc(TEXTS), n_merges=20)
-    assert [(r["left"], r["right"], r["weight"]) for r in out] == twin
-    # ranks are dense from 0 and merged = left || right
-    assert [r["rank"] for r in out] == list(range(len(out)))
-    assert all(r["merged"] == r["left"] + r["right"] for r in out)
+    # both the driver-gated path (default threshold) and the forced
+    # DISTRIBUTED loop (threshold=0) must equal the twin byte-for-byte
+    for thresh in (200_000, 0):
+        out = (
+            B.bpe_train(docs, n_merges=20, driver_vocab_threshold=thresh)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["left"], r["right"], r["weight"]) for r in out] == twin, thresh
+        # ranks are dense from 0 and merged = left || right
+        assert [r["rank"] for r in out] == list(range(len(out)))
+        assert all(r["merged"] == r["left"] + r["right"] for r in out)
 
 
 def test_bpe_greedy_overlap_and_min_count():
