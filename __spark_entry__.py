@@ -413,6 +413,19 @@ def q_dust_apply(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM quality scoring (the CCNet/KenLM-style
+    perplexity filter with the LM trained in-plan): add-one-smoothed
+    bigram model from two vocabulary-sized aggregates, docs scored via
+    one hash join on the bigram key; entropy rounded BEFORE the exp so
+    both engines exponentiate the same number (operators/lm.py)."""
+    from crawlspark.operators import lm as LM
+
+    return LM.bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
 def q_shard_stats(spark, sf_dir):
     """Deterministic global shuffle + balanced shard export audit: shard
     = md5-60(doc_id) mod 8 (the shared cross-engine hash — stable under
@@ -1786,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "lm_perplexity": q_lm_perplexity,
         "shard_stats": q_shard_stats,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -2462,6 +2476,39 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
+        "lm_perplexity": f"""
+          with t as (
+            select doc_id, {TOK_SQL.format(c='text')} as toks from documents
+          ),
+          bg0 as (
+            select doc_id,
+              [toks[i] || ' ' || toks[i+1]
+               for i in range(1, greatest(len(toks) - 1, 0) + 1)] as bgs
+            from t
+          ),
+          bg as (select doc_id, unnest(bgs) as bg from bg0),
+          cab as (select bg, count(*) as cab from bg group by bg),
+          ca as (
+            select string_split(bg, ' ')[1] as a, sum(cab) as ca
+            from cab group by 1
+          ),
+          vv as (
+            select count(distinct w) as v
+            from (select unnest(toks) as w from t)
+          ),
+          model as (
+            select cab.bg, ln(cab.cab + 1) - ln(ca.ca + vv.v) as lnp
+            from cab join ca on string_split(cab.bg, ' ')[1] = ca.a
+            cross join vv
+          )
+          select bg.doc_id,
+                 count(*) as n_bigrams,
+                 round(-avg(lnp), 6) as cross_entropy,
+                 round(exp(round(-avg(lnp), 6)), 6) as perplexity
+          from bg join model using (bg)
+          group by bg.doc_id
+          order by bg.doc_id
+        """,
         "dust_rules": _DUST_CTES + """
           select host, k as param, support
           from rules

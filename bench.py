@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "shard_stats",
     "dust_rules",
     "dust_apply",
+    "lm_perplexity",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

@@ -44,6 +44,7 @@ QUERIES = [
     "bpe_train",
     "shard_stats",
     "dust_rules",
+    "lm_perplexity",
 ]
 
 
