@@ -413,6 +413,36 @@ def q_dust_apply(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit over text with deterministically planted
+    emails / IPv4s / phone numbers (documents carry none, so both
+    engines plant the same): emails+IPs+phones replaced by typed tags,
+    per-kind counts reported. Map-only — the 100 TB scrub is a rewrite
+    with zero shuffles."""
+    from crawlspark.operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" tel +1 555-01"), (F.col("doc_id") % 90 + 10).cast("string"), F.lit("-2368")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        TS.pii_scrub(d.select("doc_id", planted.alias("text")))
+        .withColumn("scrub_hash", F.md5(F.col("scrubbed_text")))
+        .drop("scrubbed_text")
+        .orderBy("doc_id")
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained bigram-LM quality scoring (the CCNet/KenLM-style
     perplexity filter with the LM trained in-plan): add-one-smoothed
@@ -1799,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "pii_scrub": q_pii_scrub,
         "lm_perplexity": q_lm_perplexity,
         "shard_stats": q_shard_stats,
         "dust_rules": q_dust_rules,
@@ -2476,6 +2507,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
+        "pii_scrub": """
+          with p as (
+            select doc_id,
+              text || ' contact user' || doc_id::VARCHAR || '@example.org'
+                || (case when doc_id % 3 = 0
+                    then ' from 10.0.' || (doc_id % 200)::VARCHAR || '.7' else '' end)
+                || (case when doc_id % 5 = 0
+                    then ' tel +1 555-01' || (doc_id % 90 + 10)::VARCHAR || '-2368' else '' end)
+              as t
+            from documents
+          )
+          select doc_id,
+            len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as n_email,
+            len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) as n_ipv4,
+            len(regexp_extract_all(t, '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\\b')) as n_phone,
+            md5(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\\b', '<PHONE>', 'g')
+            ) as scrub_hash
+          from p order by doc_id
+        """,
         "lm_perplexity": f"""
           with t as (
             select doc_id, {TOK_SQL.format(c='text')} as toks from documents

@@ -53,6 +53,7 @@ HEADLINE_QUERIES = [
     "dust_rules",
     "dust_apply",
     "lm_perplexity",
+    "pii_scrub",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

@@ -225,3 +225,47 @@ def source_dup_stats(
         )
         .orderBy("source")
     )
+
+
+# Frozen PII patterns — deliberately conservative, expressible
+# identically in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences, no inline flags. Applied to the raw text in this
+# order; each match is replaced by its tag.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII redaction — the C4/Dolma-style scrub pass a training corpus
+    gets before export: emails, IPv4 addresses and international phone
+    numbers replaced by typed tags, with per-kind match counts so the
+    pipeline can audit redaction rates per source.
+
+    Returns (doc_id, scrubbed_text, n_email, n_ipv4, n_phone). Pure
+    per-row regexp expressions — map-only at 100 TB, no shuffle, and
+    the scan prunes to (id, text). Counts are computed BEFORE the
+    rewrite on the original text; replacement applies the frozen
+    patterns in declaration order."""
+    text = F.col(text_col)
+    counts = []
+    for name, pat, _tag in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+    scrubbed = text
+    for _name, pat, tag in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        *counts,
+    )

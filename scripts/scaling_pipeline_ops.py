@@ -45,6 +45,7 @@ QUERIES = [
     "shard_stats",
     "dust_rules",
     "lm_perplexity",
+    "pii_scrub",
 ]
 
 

@@ -59,3 +59,29 @@ def test_predictable_text_scores_lower(spark):
     # of the corpus (add-one smoothing flattens margins at this scale,
     # so assert ordering, not magnitude)
     assert ppl[2] > ppl[0] and ppl[2] > ppl[1]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from crawlspark.operators import textstats as TS
+
+    rows = [
+        (0, "mail me at a.b+c@test.org or backup@x.io thanks"),
+        (1, "server 192.168.1.77 and 10.0.0.1 are up"),
+        (2, "call +44 20-7946-0958 today"),
+        (3, "no pii here at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in TS.pii_scrub(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["n_email"] == 2 and out[0]["scrubbed_text"] == (
+        "mail me at <EMAIL> or <EMAIL> thanks"
+    )
+    assert out[1]["n_ipv4"] == 2 and out[1]["scrubbed_text"] == (
+        "server <IP> and <IP> are up"
+    )
+    assert out[2]["n_phone"] == 1 and out[2]["scrubbed_text"] == (
+        "call <PHONE> today"
+    )
+    assert out[3]["scrubbed_text"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
