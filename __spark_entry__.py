@@ -413,6 +413,33 @@ def q_dust_apply(spark, sf_dir):
     )
 
 
+MIX_WEIGHTS = {"src1": 0.4, "src2": 0.3, "src3": 0.2, "src4": 0.1}
+MIX_BUDGET = 60
+
+
+def q_mix_sources(spark, sf_dir):
+    """Source-mixture sampling (the Pile/Dolma mixing stage): draw
+    ~60 docs at 40/30/20/10 target proportions over four sources —
+    per-source acceptance rates computed in-plan from availability,
+    selection by the shared md5-60 hash (operators/sampling.py
+    mix_sources). Reports realized per-source counts beside the
+    planned rates."""
+    from crawlspark.operators import sampling as SP
+
+    picked = SP.mix_sources(
+        _t(spark, sf_dir, "documents"), MIX_WEIGHTS, MIX_BUDGET
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.first("n_avail").alias("n_avail"),
+            F.first("rate_micro").alias("rate_micro"),
+            F.count("*").alias("n_selected"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit over text with deterministically planted
     emails / IPv4s / phone numbers (documents carry none, so both
@@ -1829,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "mix_sources": q_mix_sources,
         "pii_scrub": q_pii_scrub,
         "lm_perplexity": q_lm_perplexity,
         "shard_stats": q_shard_stats,
@@ -1943,6 +1971,37 @@ def _jaccard_sql(threshold: float) -> str:
       join sz sb on sb.doc_id = ib
       where c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
       order by id_a, id_b
+    """
+
+
+def _mix_sources_sql() -> str:
+    """Twin of q_mix_sources: same Python-computed integer targets, same
+    floor(1e6·t/n) rate arithmetic, same md5-60 selection."""
+    total = sum(MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"when '{k}' then {int(MIX_BUDGET * v / total)}"
+        for k, v in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+      with counts as (
+        select source, count(*) as n_avail from documents group by source
+      ),
+      rates as (
+        select source, n_avail,
+          least(1000000, cast(floor(1000000.0 *
+            (case source {cases} else 0 end) / n_avail) as bigint)) as rate_micro
+        from counts
+      ),
+      picked as (
+        select d.source, r.n_avail, r.rate_micro
+        from documents d join rates r using (source)
+        where ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+              < r.rate_micro
+      )
+      select source, any_value(n_avail) as n_avail,
+             any_value(rate_micro) as rate_micro,
+             count(*) as n_selected
+      from picked group by source order by source
     """
 
 
@@ -2507,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_sql(0.8),
         "dedup_clusters": _dedup_clusters_sql(0.8),
         "dedup_keep_best": _dedup_keep_best_sql(0.8),
+        "mix_sources": _mix_sources_sql(),
         "pii_scrub": """
           with p as (
             select doc_id,

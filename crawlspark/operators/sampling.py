@@ -119,3 +119,44 @@ def pack_token_budget(
             ).cast("long"),
         )
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-mixture sampling — draw ≈``budget`` rows whose composition
+    follows the target ``weights`` (the Pile/Dolma mixing stage):
+    per-source target t_s = floor(budget · w_s / Σw), acceptance rate =
+    min(1, t_s / n_s) with n_s counted in-plan, selection by the shared
+    deterministic md5-60 hash (same discipline as sample_stratified —
+    stable under retry/resume/repartition, exactly reproducible by any
+    engine with md5). Sources absent from ``weights`` get target 0.
+    Oversubscribed sources (t_s > n_s) cap at keep-all; the realized
+    counts make the shortfall auditable.
+
+    Scale: one count aggregate (source-cardinality output, broadcast
+    back) + one map-only filter; the rate arithmetic is
+    ``floor(1e6·t/n)`` in integer-valued doubles — no rounding-mode
+    ambiguity between engines. Returns the sampled rows plus
+    (n_avail, rate_micro)."""
+    total = float(sum(weights.values())) or 1.0
+    tgt: Column = F.lit(0)
+    for k, v in sorted(weights.items()):
+        tgt = F.when(
+            F.col(source_col) == k, F.lit(int(budget * v / total))
+        ).otherwise(tgt)
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_avail"))
+    rates = counts.select(
+        source_col,
+        "n_avail",
+        F.least(
+            F.lit(SAMPLE_MOD).cast("long"),
+            F.floor(F.lit(float(SAMPLE_MOD)) * tgt / F.col("n_avail")).cast("long"),
+        ).alias("rate_micro"),
+    )
+    u = md5_int60(F.col(id_col).cast("string")) % SAMPLE_MOD
+    return df.join(F.broadcast(rates), source_col).filter(u < F.col("rate_micro"))

@@ -402,3 +402,34 @@ def test_cms_overestimates_and_tracks_exact(spark):
     assert got["alpha"][0] == sum(i % 5 + 1 for i in range(40))
     # CMS one-sided error: estimates never undercount
     assert all(cms >= exact for exact, cms in got.values())
+
+
+def test_mix_sources_targets_caps_and_determinism(spark):
+    from crawlspark.operators import sampling as SP
+    from pyspark.sql import functions as F
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )  # 100 docs per source s0/s1/s2
+    w = {"s0": 0.5, "s1": 0.5, "s2": 0.0}
+    picked = SP.mix_sources(docs, w, budget=80, source_col="source")
+    rows = picked.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # unlisted/zero-weight source contributes nothing
+    assert "s2" not in by_src
+    # targets: 40 each at rate 400000/1e6 — realized counts are the
+    # hash-binomial draw, so allow slack but require rough proportion
+    assert 25 <= len(by_src["s0"]) <= 55 and 25 <= len(by_src["s1"]) <= 55
+    # oversubscribed source caps at keep-all
+    cap = SP.mix_sources(docs, {"s0": 1.0}, budget=10_000, source_col="source")
+    assert cap.count() == 100
+    assert cap.select("rate_micro").first()["rate_micro"] == 1_000_000
+    # deterministic under repartition
+    again = {
+        r["doc_id"]
+        for r in SP.mix_sources(docs.repartition(17), w, 80, "source").collect()
+    }
+    assert again == {r["doc_id"] for r in rows}
