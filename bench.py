@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "dust_apply",
     "lm_perplexity",
     "pii_scrub",
+    "mix_sources",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

@@ -46,6 +46,7 @@ QUERIES = [
     "dust_rules",
     "lm_perplexity",
     "pii_scrub",
+    "mix_sources",
 ]
 
 
