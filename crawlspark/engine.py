@@ -258,6 +258,20 @@ class CrawlEngine:
         self._respect_crawl_delay = bool(config.extra.get("respect_crawl_delay"))
         self._delay_state: DataFrame | None = None
         self._n_delay_rules: int | None = None  # None = recount from rules
+        # opt-in per-key error circuit breaker (default OFF — same
+        # conformance reasoning as Crawl-delay): extra["error_backoff"]
+        # = {"threshold": E, "rounds": B} benches a politeness key for B
+        # rounds after a round in which >= E of its fetches returned
+        # HTTP >= 500 (server distress — page-level 4xx never trips it).
+        # State = one tiny (bkey, until_round) table of TRIPPED keys,
+        # rewritten per round and snapshot-carried; the pure-Python
+        # oracle mirrors the rule so full fetch-order conformance holds
+        # with the flag on (tests/test_backoff.py).
+        eb = config.extra.get("error_backoff")
+        self._backoff: tuple[int, int] | None = (
+            (int(eb["threshold"]), int(eb["rounds"])) if eb else None
+        )
+        self._backoff_state: DataFrame | None = None
         # stats-pruned frontier-heads scheduling (north_rule 10^10 scan):
         # when the pending base is the sorted compacted layout, each round
         # reads only per-key head files (footer/manifest bounds) + deltas
@@ -673,24 +687,70 @@ class CrawlEngine:
         )
 
     def _blocked_keys(self) -> DataFrame | None:
-        """Politeness keys still inside their Crawl-delay window this
-        round (None when the feature is off / no delayed key has been
-        scheduled yet). O(#delayed-domains) rows; AQE decides the join
-        strategy downstream (same guard philosophy as the K=1 heads)."""
+        """Politeness keys excluded from this round's schedule: keys
+        still inside their Crawl-delay window, and keys benched by the
+        error circuit breaker (None when no feature contributes).
+        O(#delayed + #tripped) rows; AQE decides the join strategy
+        downstream (same guard philosophy as the K=1 heads)."""
+        parts: list[DataFrame] = []
         if (
-            not self._respect_crawl_delay
-            or self._delay_state is None
-            or self._delay_rules_count() == 0
+            self._respect_crawl_delay
+            and self._delay_state is not None
+            and self._delay_rules_count() != 0
         ):
-            return None
-        return (
-            self._delay_state.join(self._delays_plan(), "registered_domain")
-            .filter(
-                (F.lit(self.round_no) - F.col("last_round"))
-                < F.col("delay_rounds")
+            parts.append(
+                self._delay_state.join(self._delays_plan(), "registered_domain")
+                .filter(
+                    (F.lit(self.round_no) - F.col("last_round"))
+                    < F.col("delay_rounds")
+                )
+                .select(F.col("dkey").alias(self._key_col))
             )
-            .select(F.col("dkey").alias(self._key_col))
+        if self._backoff is not None and self._backoff_state is not None:
+            parts.append(
+                self._backoff_state.filter(
+                    F.col("until_round") >= F.lit(self.round_no)
+                ).select(F.col("bkey").alias(self._key_col))
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _update_backoff_state(self, s: DataFrame, routed: DataFrame) -> None:
+        """Trip the breaker for keys whose round had >= threshold HTTP
+        >= 500 results (frozen spec; route == 'error' covers every
+        non-2xx/3xx terminal). One tiny full-rewrite job per round when
+        the feature is on — state is O(#tripped-keys), expired rows are
+        dropped on every rewrite."""
+        thresh, bench_rounds = self._backoff
+        err5 = routed.filter(
+            (F.col("route") == "error") & (F.col("http_status") >= 500)
+        ).select("url_hash")
+        newly = (
+            s.join(err5, "url_hash", "left_semi")
+            .groupBy(F.col(self._key_col).alias("bkey"))
+            .agg(F.count("*").alias("n_err"))
+            .filter(F.col("n_err") >= thresh)
+            .select(
+                "bkey",
+                F.lit(self.round_no + bench_rounds).alias("until_round"),
+            )
         )
+        prev = (
+            None
+            if self._backoff_state is None
+            else self._backoff_state.filter(
+                F.col("until_round") >= F.lit(self.round_no)
+            )
+        )
+        merged = newly if prev is None else prev.unionByName(newly)
+        merged = merged.groupBy("bkey").agg(
+            F.max("until_round").alias("until_round")
+        )
+        self._backoff_state = self._mat_state(merged, "backoff", single=True)
 
     def _update_delay_state(self, sched: DataFrame) -> None:
         """Record last_round for the DELAYED keys scheduled this round
@@ -746,6 +806,12 @@ class CrawlEngine:
                 if ds is not None:
                     self._delay_state = self._mat_state(
                         ds, "crawl_delay", single=True
+                    )
+            if self._backoff is not None:
+                bs = self.catalog.load(self.spark, snap, "backoff_state")
+                if bs is not None:
+                    self._backoff_state = self._mat_state(
+                        bs, "backoff", single=True
                     )
             for name in ("completed", "bad", "fingerprints"):
                 self._state_parts[name] = self.catalog.paths(snap, name)
@@ -956,6 +1022,9 @@ class CrawlEngine:
             # Crawl-delay pacing state rides the snapshot so a resumed
             # crawl keeps honoring in-flight delay windows
             tables["crawl_delay_state"] = self._delay_state
+        if self._backoff is not None and self._backoff_state is not None:
+            # circuit-breaker benches survive resume the same way
+            tables["backoff_state"] = self._backoff_state
         snap = self.catalog.commit(
             tables,
             meta={
@@ -1204,6 +1273,9 @@ class CrawlEngine:
                 for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
             }
         _mark("statused")
+
+        if self._backoff is not None:
+            self._update_backoff_state(s, routed)
 
         # state deltas ------------------------------------------------
         # bad / fingerprints / popped read only already-materialized

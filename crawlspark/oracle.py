@@ -99,6 +99,9 @@ class OracleCrawl:
     # last round each politeness key was scheduled in
     crawl_delays: dict[str, int] = field(default_factory=dict)
     last_sched: dict[str, int] = field(default_factory=dict)
+    # opt-in error circuit breaker (extra["error_backoff"]): politeness
+    # key → last benched round (blocked while round_no <= until)
+    backoff_until: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
         pages = pq.read_table(f"{self.corpus_dir}/pages.parquet").to_pylist()
@@ -251,9 +254,15 @@ class OracleCrawl:
         # (priority_col asc, seq asc) instead of pure FIFO — mirrors
         # engine schedule_round(order_col=...); None = reference FIFO
         prio = cfg.extra.get("priority_col")
+        # opt-in error circuit breaker — mirrors engine
+        # _update_backoff_state / _blocked_keys (frozen spec: >= E
+        # HTTP >= 500 results for a key in one round bench it for B)
+        eb = cfg.extra.get("error_backoff")
         scheduled: list[str] = []
         for dom in list(self.queues):
             q = self.queues[dom]
+            if eb and self.backoff_until.get(dom, 0) >= self.round_no:
+                continue  # key benched by the circuit breaker
             if respect_delay and q:
                 dr = self.crawl_delays.get(self.rows[q[0]].rdom, 1)
                 if dr > 1 and self.round_no - self.last_sched.get(dom, -(10**9)) < dr:
@@ -274,9 +283,9 @@ class OracleCrawl:
                 self.last_sched[dom] = self.round_no
             scheduled.extend(take)
         if not scheduled:
-            if respect_delay and self.queues:
-                # everything pending is inside a Crawl-delay window — the
-                # round is an IDLE politeness tick, not termination
+            if (respect_delay or eb) and self.queues:
+                # everything pending is inside a Crawl-delay window or a
+                # circuit-breaker bench — an IDLE tick, not termination
                 return True
             self.round_no -= 1
             return False
@@ -286,6 +295,7 @@ class OracleCrawl:
         new_err: dict[str, set] = {}
         new_fps: list[int] = []
         candidates: list[tuple] = []
+        err5_by_key: dict[str, int] = {}
 
         for key in scheduled:
             row = self.rows[key]
@@ -332,6 +342,9 @@ class OracleCrawl:
                 row.status = "error"
                 if st >= 400:
                     new_err[row.url] = toks
+                if eb and st >= 500:
+                    k5 = self._politeness_key(row)
+                    err5_by_key[k5] = err5_by_key.get(k5, 0) + 1
                 continue
             if page["content_length"] == 0:
                 row.status = "empty"
@@ -365,6 +378,13 @@ class OracleCrawl:
         self.low_bad.update(new_low)
         self.err_bad.update(new_err)
         self.fingerprints.extend(new_fps)
+        if eb:
+            thresh, bench = int(eb["threshold"]), int(eb["rounds"])
+            for k5, n in err5_by_key.items():
+                if n >= thresh:
+                    self.backoff_until[k5] = max(
+                        self.backoff_until.get(k5, 0), self.round_no + bench
+                    )
         self.admit_batch(candidates)
         return True
 
