@@ -160,3 +160,19 @@ def test_dedup_keep_best_winner_is_aggregate_not_window(spark):
     plan = _plan(DD.dedup_keep_best(docs, "doc_id", "text", 3, 0.8))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_plan_scalar_bnlj_only(spark):
+    """The only nested-loop join allowed is the 1-row vocabulary-size
+    scalar broadcast; the model joins must be hash joins and the scans
+    must prune to (doc_id, text)."""
+    from crawlspark.operators import lm as LM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(LM.bigram_lm_scores(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan  # equi-joins resolve to hash joins
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line, line
