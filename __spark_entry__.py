@@ -656,6 +656,27 @@ def q_ann_ivf_trained(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) — cluster-then-prune semantic dedup —
+    over deterministically planted near-duplicate twins (the same
+    vec_id+100000 augmentation as embedding_neardup_lsh, cosine ≈ 0.9968
+    to the source). Each twin is dropped in favour of its lower-id
+    source whenever both land in the same IVF cell — exactly the
+    paper's within-cluster approximation of the O(N²) pair search.
+    Deterministic anchors → full DuckDB value-hash twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    shifted = F.concat(F.slice(e, 2, 1 << 20), F.slice(e, 1, 1))
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(e, shifted, lambda x, y: x + F.lit(0.08) * y).alias("embedding"),
+    )
+    aug = emb.select("vec_id", e.alias("embedding")).unionByName(dup)
+    return DD.semdedup(
+        aug, anchors=SIM.ivf_anchors(64, 16), n_cells=16, eps=0.96
+    ).orderBy("vec_id")
+
+
 def q_payload_phash(spark, sf_dir):
     """Multimodal payload plumbing on testdata: deterministic image per
     doc_id (encode → binary column → Arrow decode → phash). No SQL oracle."""
@@ -1870,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semdedup": q_semdedup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -2348,6 +2370,52 @@ def _ann_ivf_sql(n_cells: int = 16, nprobe: int = 4, dim: int = 64, k: int = 5) 
     """
 
 
+def _semdedup_sql(n_cells: int = 16, dim: int = 64, eps: float = 0.96) -> str:
+    """DuckDB twin of ``DD.semdedup`` over the planted-twin augmentation:
+    anchors as DOUBLE[] literals, cell = argmax anchor dot (ties to the
+    lower cell id, matching ivf_assign's stable argsort), within-cell
+    keep-lowest-id pruning with the shared 6-dp cosine rounding."""
+    anchors = SIM.ivf_anchors(dim, n_cells)
+    rows = []
+    for c in range(n_cells):
+        vals = ", ".join(repr(float(x)) for x in anchors[c])
+        rows.append(f"({c}, [{vals}]::DOUBLE[])")
+    values = ",\n            ".join(rows)
+    return f"""
+      with cells(cell_id, anchor) as (
+        values
+            {values}
+      ), aug as (
+        select vec_id, embedding::DOUBLE[] as e from embeddings
+        union all
+        select vec_id + 100000,
+               list_transform(range(1, len(embedding) + 1),
+                  i -> embedding[i]::DOUBLE
+                       + 0.08 * embedding[(i % len(embedding)) + 1]::DOUBLE)
+        from embeddings
+      ), ca as (
+        select vec_id, cell_id, e from (
+          select a.vec_id, c.cell_id, a.e,
+                 row_number() over (partition by a.vec_id
+                                    order by list_dot_product(a.e, c.anchor) desc,
+                                             c.cell_id asc) as rnk
+          from aug a cross join cells c) t where rnk = 1
+      ), dup as (
+        select a.vec_id, min(b.vec_id) as dup_of
+        from ca a join ca b
+          on a.cell_id = b.cell_id and b.vec_id < a.vec_id
+        where round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) >= {eps}
+        group by a.vec_id
+      )
+      select ca.vec_id, ca.cell_id as cell,
+             (d.dup_of is null) as kept, d.dup_of
+      from ca left join dup d on ca.vec_id = d.vec_id
+      order by ca.vec_id
+    """
+
+
 _LANG_SCORE = {
     code: "len(list_filter(toks, t -> t in ({})))".format(
         ", ".join(f"'{w}'" for w in X.LANG_MARKERS[code])
@@ -2730,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "semdedup": _semdedup_sql(),
         "windowed_events": """
           select date_trunc('hour', ts) as hour, event_type,
                  count(*) as n_events,

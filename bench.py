@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "embedding_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
+    "semdedup",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_trained",

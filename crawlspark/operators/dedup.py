@@ -908,3 +908,75 @@ def dedup_keep_best(
             (F.col("doc_id") == F.col("best_id")).cast("int").alias("keep"),
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    anchors=None,
+    n_cells: int = 16,
+    eps: float = 0.96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means-style clustering + within-cluster cosine pruning. The insight
+    that makes it tractable at 10^10 docs: near-identical embeddings land
+    in the SAME cluster, so the quadratic pair search shrinks from O(N^2)
+    to sum(n_i^2) over cells — with n_cells grown ∝ N (constant cell
+    size) the total work is linear and the only wide op is one shuffle
+    on the cell id.
+
+    Plan shape: cell assignment = ``ivf_assign`` (one Arrow GEMM pass,
+    the same coarse quantizer the IVF ANN index uses — at production
+    scale the two share trained anchors AND the cell-partitioned
+    layout); within-cell pairs = a hash self-join on ``cell`` with the
+    JVM-side zip_with/aggregate cosine, never a crossJoin node.
+
+    Keep policy (deterministic): a vector is dropped iff some
+    SMALLER-id vector in its cell has cosine >= ``eps`` with it;
+    ``dup_of`` records the smallest such id. Greedy-by-id is the policy
+    open SemDeDup implementations use in place of the paper's
+    distance-to-centroid tie-break, and it is exactly SQL-expressible —
+    the DuckDB twin reproduces the output bit-for-bit (cosines rounded
+    to 6 dp before the threshold on both engines).
+
+    Default ``anchors=None`` synthesizes the crc32-seeded deterministic
+    anchors (oracle-exact); pass ``train_ivf_kmeans_distributed``
+    centroids in production for balanced cells.
+
+    Output: (vec_id, cell, kept, dup_of) — one row per corpus vector.
+    """
+    from crawlspark.operators.similarity import _cosine, ivf_anchors, ivf_assign
+
+    if anchors is None:
+        # dim probe only when anchors must be synthesized (array<double>
+        # carries no length in the schema) — callers passing anchors
+        # skip this extra job
+        anchors = ivf_anchors(len(corpus.select(vec_col).first()[0]), n_cells)
+    ca = ivf_assign(corpus, anchors, nprobe=1, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "cell"
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = ca.join(v, "vec_id")
+    b = a.select(
+        F.col("vec_id").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .withColumn("cos", F.round(_cosine(F.col("v"), F.col("bv")), 6))
+        .filter(F.col("cos") >= F.lit(eps))
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        ca.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

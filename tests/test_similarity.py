@@ -142,3 +142,67 @@ def test_distributed_kmeans_recall_at_10x(spark):
     # the ann_ivf_trained driver query's value gate (VERDICT r3 #8)
     assert recall_trained >= 0.9, (recall_trained, recall_untrained)
     assert recall_trained >= recall_untrained, (recall_trained, recall_untrained)
+
+
+def test_semdedup_drops_planted_twins(spark):
+    """SemDeDup keep-lowest-id policy over planted exact-ish twins: every
+    twin (vec_id+100000, cosine ~0.9968 to its source) that lands in its
+    source's cell is dropped with dup_of == source; sources with no
+    smaller-id near-neighbor are kept. Cross-checked against a brute
+    within-cell greedy in pure Python."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.dedup import semdedup
+    from crawlspark.operators.similarity import ivf_anchors
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = F.col("embedding").cast("array<double>")
+    shifted = F.concat(F.slice(e, 2, 1 << 20), F.slice(e, 1, 1))
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(e, shifted, lambda x, y: x + F.lit(0.08) * y).alias("embedding"),
+    )
+    aug = emb.select("vec_id", e.alias("embedding")).unionByName(twins)
+    anchors = ivf_anchors(64, 8)
+    out = semdedup(aug, anchors=anchors, n_cells=8, eps=0.96).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 2 * emb.count()
+
+    # brute-force reference: same cells, same greedy policy
+    rows = aug.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cells = {
+        vid: int(np.argmax(v / np.linalg.norm(v) @ anchors.T))
+        for vid, v in vecs.items()
+    }
+    dropped_ref = {}
+    for vid in sorted(vecs):
+        cands = [
+            u for u in sorted(vecs)
+            if u < vid and cells[u] == cells[vid]
+            and round(
+                float(
+                    vecs[u] @ vecs[vid]
+                    / (np.linalg.norm(vecs[u]) * np.linalg.norm(vecs[vid]))
+                ),
+                6,
+            )
+            >= 0.96
+        ]
+        if cands:
+            dropped_ref[vid] = min(cands)
+
+    dropped_engine = {
+        r["vec_id"]: r["dup_of"] for r in out if not r["kept"]
+    }
+    assert dropped_engine == dropped_ref
+    # the planted twins are the bulk of the drops: each twin that shares
+    # its source's cell must be gone
+    same_cell_twins = [
+        vid for vid in vecs if vid >= 100000 and cells[vid] == cells[vid - 100000]
+    ]
+    assert same_cell_twins, "augmentation produced no co-located twins"
+    for vid in same_cell_twins:
+        assert not by_id[vid]["kept"]
