@@ -244,6 +244,17 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (arXiv:2107.06499): stride-1 20-token spans,
+    corpus-wide keep-first per span hash, non-first spans merged into
+    intervals and stripped from each document. Catches duplicates at any
+    alignment (passage_dedup's chunks miss shifted copies) and removes
+    only the duplicated region."""
+    return DD.substring_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_len=20
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
@@ -1870,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "passage_dedup": q_passage_dedup,
+        "substring_dedup": q_substring_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
@@ -2624,6 +2636,56 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(r.n_kept, 0)::BIGINT as n_kept,
                  coalesce(r.clean_text, '') as clean_text
           from base b left join reb r using (doc_id)
+          order by b.doc_id
+        """,
+        "substring_dedup": f"""
+          with base as (
+            select doc_id, l, len(l) as n
+            from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
+          ), occ as (
+            select doc_id, l, unnest(range(0, n - 20 + 1)) as pos
+            from base where n >= 20
+          ), sp as (
+            select doc_id, pos,
+                   md5(array_to_string(l[(pos+1):(pos+20)], ' ')) as h
+            from occ
+          ), dup as (
+            select doc_id, pos, pos + 20 as e
+            from (select doc_id, pos,
+                         row_number() over (partition by h
+                                            order by doc_id, pos) as rn
+                  from sp) _ where rn > 1
+          ), isl as (
+            select doc_id, pos, e,
+                   sum(case when prev_e is null or pos > prev_e
+                       then 1 else 0 end)
+                     over (partition by doc_id order by pos
+                           rows unbounded preceding) as g
+            from (select doc_id, pos, e,
+                         max(e) over (partition by doc_id order by pos
+                                      rows between unbounded preceding
+                                      and 1 preceding) as prev_e
+                  from dup) _
+          ), merged as (
+            select doc_id, g, min(pos) as s, max(e) as e
+            from isl group by doc_id, g
+          ), per_doc as (
+            select doc_id, count(*) as n_dup_spans, sum(e - s) as n_removed,
+                   list([s, e] order by s) as ivs
+            from merged group by doc_id
+          )
+          select b.doc_id, b.n as n_tokens,
+                 coalesce(p.n_dup_spans, 0)::BIGINT as n_dup_spans,
+                 coalesce(p.n_removed, 0)::BIGINT as n_removed,
+                 coalesce(array_to_string(
+                   list_transform(
+                     list_filter(range(0, b.n),
+                       i -> p.ivs is null
+                            or len(list_filter(p.ivs,
+                                   v -> i >= v[1] and i < v[2])) = 0),
+                     i -> b.l[i+1]),
+                   ' '), '') as clean_text
+          from base b left join per_doc p using (doc_id)
           order by b.doc_id
         """,
         "ngram_jaccard": _jaccard_sql(0.8),

@@ -44,6 +44,7 @@ HEADLINE_QUERIES = [
     "ngram_jaccard",
     "ngram_jaccard_capped",
     "passage_dedup",
+    "substring_dedup",
     "minhash_lsh",
     "dedup_clusters",
     "dedup_keep_best",

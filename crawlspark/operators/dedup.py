@@ -980,3 +980,109 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", min_len: int = 20
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): remove
+    every duplicated token span of length >= ``min_len`` from all but
+    its first occurrence, keeping the rest of each document intact.
+    The paper builds a corpus-wide suffix array; the Spark-first
+    equivalent is overlapping stride-1 ``min_len``-token windows — a
+    span duplicated at ANY alignment collides window-for-window, so the
+    detected+merged regions equal the suffix-array answer for matches
+    of length >= min_len (each engine hashes the joined span text; a
+    production variant would swap in a Rabin-Karp rolling hash inside
+    mapInPandas to skip materializing span strings).
+
+    Unlike ``passage_dedup`` (non-overlapping chunks — a duplicate
+    shifted by one word is invisible), this catches duplicates at any
+    offset and removes ONLY the duplicated region, not the enclosing
+    passage.
+
+    Pipeline (all shuffles keyed, no window over a skewed partition):
+      1. explode stride-1 spans: ~n_tokens rows, md5 per span;
+      2. keep-first: one hash aggregate min(struct(doc_id, pos)) per
+         span hash (map-side partial — a boilerplate span in 10^8 docs
+         is one aggregate cell) + an equi-join back on the hash (AQE
+         splits the hot-key side);
+      3. non-first occurrences become [pos, pos+min_len) intervals;
+         gaps-and-islands merge per doc (window over doc_id, bounded by
+         doc length);
+      4. rebuild: filter the token array against the merged intervals —
+         one JVM-side higher-order function, no second explode.
+
+    Returns (doc_id, n_tokens, n_dup_spans, n_removed, clean_text), one
+    row per input document. Deterministic → full DuckDB value-hash twin.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - L),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, L))),
+    )
+    occ = (
+        base.filter(F.col("n_tokens") >= L)
+        .select("doc_id", F.posexplode(spans).alias("pos", "h"))
+    )
+    keeper = occ.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    dup = (
+        occ.join(keeper, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("pos") == F.col("k.pos"))
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + L).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "new_isl",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "isl", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+    )
+    kept_idx = F.filter(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.col("ivs").isNull()
+        | ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at("toks", i + 1)),
+            ).alias("clean_text"),
+        )
+    )

@@ -433,3 +433,62 @@ def test_mix_sources_targets_caps_and_determinism(spark):
         for r in SP.mix_sources(docs.repartition(17), w, 80, "source").collect()
     }
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_substring_dedup_matches_pure_python_reference(spark):
+    """substring_dedup == a brute-force pure-Python implementation of the
+    same spec (stride-1 L-token spans, global keep-first by (doc_id, pos),
+    interval merge, strip) on planted boilerplate: first occurrence kept,
+    later occurrences stripped at any alignment, within-doc repeats
+    stripped too, short docs untouched."""
+    L = 20
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    uniq = lambda d, n: " ".join(f"u{d}x{i}" for i in range(n))
+    docs = [
+        (1, uniq(1, 5) + " " + boiler + " " + uniq(1, 7)),
+        (2, uniq(2, 3) + " " + boiler + " " + uniq(2, 4)),  # shifted copy
+        (3, boiler),                                         # whole doc dup
+        (4, uniq(4, 40)),                                    # untouched
+        (5, "short doc only"),                               # n < L
+        (6, uniq(6, 6) + " " + boiler + " mid " + boiler),  # self-dup
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in DD.substring_dedup(df, "doc_id", "text", min_len=L).collect()
+    }
+
+    toksd = {d: t.lower().split() for d, t in docs}
+    first = {}
+    for d in sorted(toksd):
+        t = toksd[d]
+        for p in range(len(t) - L + 1):
+            s = " ".join(t[p : p + L])
+            first.setdefault(s, (d, p))
+    for d in sorted(toksd):
+        t = toksd[d]
+        ivs = [
+            (p, p + L)
+            for p in range(len(t) - L + 1)
+            if first[" ".join(t[p : p + L])] != (d, p)
+        ]
+        merged = []
+        for s_, e_ in sorted(ivs):
+            if merged and s_ <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e_))
+            else:
+                merged.append((s_, e_))
+        removed = {i for s_, e_ in merged for i in range(s_, e_)}
+        clean = " ".join(t[i] for i in range(len(t)) if i not in removed)
+        r = out[d]
+        assert (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["n_removed"],
+            r["clean_text"],
+        ) == (len(t), len(merged), sum(e_ - s_ for s_, e_ in merged), clean), d
+    # the spec's headline properties, asserted explicitly
+    assert out[1]["n_removed"] == 0          # first occurrence kept
+    assert out[2]["n_removed"] == 30         # shifted copy fully stripped
+    assert out[3]["clean_text"] == ""        # whole-doc dup -> empty
+    assert out[6]["n_dup_spans"] == 2        # two separate stripped regions
