@@ -1556,6 +1556,66 @@ def q_stream_enrich(spark, sf_dir):
     return spark.table(qname).orderBy("event_id")
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM watermarked event-time join: view events joined to
+    the same user's click events within a 1-hour horizon, each side
+    replayed as two time-ordered parquet micro-batches. Watermark +
+    time-range condition bound the state store (the production concern);
+    inner-join emission is batch-equal at any micro-batch granularity,
+    so the oracle is the plain batch join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from crawlspark.streaming.ingest import attribution_join_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="ssjoin_stream_")
+    srcs = {}
+    for kind in ("view", "click"):
+        side = ev.filter(F.col("event_type") == kind).select(
+            "event_id", "ts", "user_id"
+        )
+        lo = side.orderBy("ts", "event_id").limit(int(side.count() // 2))
+        hi = side.join(lo.select("event_id"), "event_id", "left_anti")
+        src = os.path.join(work, f"src_{kind}")
+        os.makedirs(src)
+        for i, part in enumerate((lo, hi)):
+            stage = os.path.join(work, f"stage_{kind}{i}")
+            part.coalesce(1).write.parquet(stage)
+            shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+        srcs[kind] = src
+
+    schema = "event_id long, ts timestamp, user_id long"
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcs["view"])
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcs["click"])
+    )
+    _SESS_STREAM_SEQ[0] += 1
+    qname = f"ssjoin_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
+    q = (
+        attribution_join_stream(views, clicks, horizon_s=3600)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname).orderBy("view_id", "click_id")
+
+
 def q_status_routing(spark, sf_dir):
     """when/otherwise status router (F9 analog) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -1943,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
+        "stream_stream_join": q_stream_stream_join,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
         "trap_filter": q_trap_filter,
@@ -2872,6 +2933,18 @@ def oracle_sql() -> dict[str, str]:
           select e.event_id, e.user_id, e.event_type, c.c_mktsegment
           from events e join customer c on e.user_id = c.c_custkey
           order by e.event_id
+        """,
+        # stream-stream inner join drains append-mode to the batch join
+        "stream_stream_join": """
+          select v.event_id as view_id, c.event_id as click_id,
+                 v.user_id, v.ts as view_ts, c.ts as click_ts,
+                 floor(epoch(c.ts))::BIGINT - floor(epoch(v.ts))::BIGINT
+                   as lag_s
+          from events v join events c
+            on v.user_id = c.user_id
+           and v.event_type = 'view' and c.event_type = 'click'
+           and c.ts >= v.ts and c.ts <= v.ts + interval 1 hour
+          order by view_id, click_id
         """,
         # the watermarked streaming twin drains to the identical table
         "windowed_events_stream": """

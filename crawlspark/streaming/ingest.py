@@ -163,3 +163,46 @@ def crawl_telemetry_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """STREAM-STREAM event-time inner join (view → click attribution):
+    pair every view with the same user's clicks landing within
+    ``horizon_s`` seconds after it.
+
+    Both sides carry a watermark and the join condition bounds
+    ``click.ts`` to ``[view.ts, view.ts + horizon_s]`` — together these
+    let Spark expire buffered state: a view older than
+    ``horizon + watermark`` behind the click-side watermark can never
+    match again and is dropped from the state store, so state is
+    O(events-in-horizon) regardless of stream length (unbounded state is
+    THE stream-stream-join failure mode at production scale). Inner-join
+    emission itself needs no watermark, so the drained result equals the
+    batch join row-for-row at any micro-batch granularity — the oracle
+    is the plain batch SQL join.
+
+    Expects (event_id, ts, user_id) on both inputs; returns
+    (view_id, click_id, user_id, view_ts, click_ts, lag_s).
+    """
+    v = views.withWatermark("ts", watermark).alias("v")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""v.user_id = c.user_id
+                AND c.ts >= v.ts
+                AND c.ts <= v.ts + interval {int(horizon_s)} seconds"""
+        ),
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+        (F.unix_timestamp("c.ts") - F.unix_timestamp("v.ts")).alias("lag_s"),
+    )

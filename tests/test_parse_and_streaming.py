@@ -153,3 +153,96 @@ def test_telemetry_stream_replay_deterministic(spark, tmp_path):
     by_win = {(s, st): n for s, st, n in first}
     assert sum(n for (s, st), n in by_win.items() if st == "parsed") == 2
     assert sum(n for (s, st), n in by_win.items() if st == "error") == 1
+
+
+def test_stream_stream_join_granularity_invariant(spark, tmp_path):
+    """attribution_join_stream drains to the batch-join answer at every
+    micro-batch granularity: 4 one-file triggers vs one big trigger vs
+    the plain batch join all yield the same pair set, and the watermark +
+    time-range condition registers a bounded state operator."""
+    import glob
+    import shutil
+
+    from crawlspark.streaming.ingest import attribution_join_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type")
+    )
+    sides = {}
+    for kind in ("view", "click"):
+        side = ev.filter(F.col("event_type") == kind).select(
+            "event_id", "ts", "user_id"
+        )
+        n = side.count()
+        parts = []
+        ordered = side.orderBy("ts", "event_id")
+        rows = ordered.collect()
+        quarter = max(1, n // 4)
+        src = tmp_path / f"src_{kind}"
+        src.mkdir()
+        for i in range(4):
+            chunk = rows[i * quarter:(i + 1) * quarter] if i < 3 else rows[3 * quarter:]
+            stage = str(tmp_path / f"stage_{kind}{i}")
+            spark.createDataFrame(chunk, side.schema).coalesce(1).write.parquet(stage)
+            shutil.copy(glob.glob(f"{stage}/*.parquet")[0], str(src / f"{i:02d}.parquet"))
+        sides[kind] = str(src)
+
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def drain(tag, files_per_trigger):
+        views = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(sides["view"])
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(sides["click"])
+        )
+        q = (
+            attribution_join_stream(views, clicks, horizon_s=3600)
+            .writeStream.format("memory")
+            .queryName(f"ssj_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        prog = q.lastProgress
+        rows = sorted(
+            (r["view_id"], r["click_id"], r["user_id"], r["lag_s"])
+            for r in spark.sql(f"select * from ssj_{tag}").collect()
+        )
+        return rows, prog
+
+    fine, prog_fine = drain("fine", 1)
+    coarse, _ = drain("coarse", 8)
+    assert fine == coarse
+    # batch twin
+    v, c = ev.filter("event_type='view'").alias("v"), ev.filter(
+        "event_type='click'"
+    ).alias("c")
+    batch = sorted(
+        (r["view_id"], r["click_id"], r["user_id"], r["lag_s"])
+        for r in v.join(
+            c,
+            F.expr("v.user_id = c.user_id and c.ts >= v.ts "
+                   "and c.ts <= v.ts + interval 3600 seconds"),
+        ).select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("v.user_id").alias("user_id"),
+            (F.unix_timestamp("c.ts") - F.unix_timestamp("v.ts")).alias("lag_s"),
+        ).collect()
+    )
+    assert fine == batch
+    assert len(fine) > 0
+    # a stateful symmetric-hash-join operator ran (state is being kept
+    # and expired by the watermark, not an unbounded buffer)
+    ops = (prog_fine or {}).get("stateOperators", [])
+    assert any("symmetricHashJoin" in (op.get("operatorName") or "") for op in ops), ops
