@@ -1556,6 +1556,40 @@ def q_stream_enrich(spark, sf_dir):
     return spark.table(qname).orderBy("event_id")
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact-to-fact join over BUCKETED tables: orders and
+    lineitem bucketed by the order key into the session catalog, then
+    joined + aggregated. The bucketed layout makes the join itself
+    Exchange-free (plan-asserted with broadcast disabled in
+    tests/test_bucketing.py) — at 10^10 rows that is the shuffle the
+    layout pays once at write time. Values equal the plain join, so the
+    oracle is ordinary SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from crawlspark.operators.bucketing import write_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    work = tempfile.mkdtemp(prefix="bucketed_join_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    _SESS_STREAM_SEQ[0] += 1
+    tag = f"{_SESS_STREAM_SEQ[0]}"
+    bo = write_bucketed(orders, f"bq_orders_{tag}", "o_orderkey", 8, f"{work}/o")
+    bl = write_bucketed(li, f"bq_lineitem_{tag}", "l_orderkey", 8, f"{work}/l")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_stream_stream_join(spark, sf_dir):
     """STREAM-STREAM watermarked event-time join: view events joined to
     the same user's click events within a 1-hour horizon, each side
@@ -2004,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events_stream": q_windowed_events_stream,
         "stream_enrich": q_stream_enrich,
         "stream_stream_join": q_stream_stream_join,
+        "bucketed_join": q_bucketed_join,
         "status_routing": q_status_routing,
         "url_canonicalize": q_url_canonicalize,
         "trap_filter": q_trap_filter,
@@ -2933,6 +2968,13 @@ def oracle_sql() -> dict[str, str]:
           select e.event_id, e.user_id, e.event_type, c.c_mktsegment
           from events e join customer c on e.user_id = c.c_custkey
           order by e.event_id
+        """,
+        # bucketed layout changes the PLAN, not the answer
+        "bucketed_join": """
+          select o.o_orderpriority, count(*) as n_items,
+                 (sum(l.l_quantity::DECIMAL(18,4)))::DOUBLE as sum_qty
+          from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+          group by 1 order by 1
         """,
         # stream-stream inner join drains append-mode to the batch join
         "stream_stream_join": """

@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "sessionize",
     "asof_join",
     "range_join",
+    "bucketed_join",
     "tfidf_topk",
     "corpus_prep",
     "image_gate",
