@@ -176,3 +176,43 @@ def test_lm_perplexity_plan_scalar_bnlj_only(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "lang" not in line and "source" not in line, line
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE skew-join config actually fires: a join whose
+    left side funnels ~90% of rows through one key gets its hot
+    partition SPLIT at runtime (SortMergeJoin(skew=true) in the final
+    adaptive plan) instead of one straggler task owning the key. This is
+    the runtime backstop the dedup/inverted-index operators' docstrings
+    lean on for hot-shingle and hot-bucket skew."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # incompressible pad so the hot key's shuffle partition is
+        # genuinely oversized after compression
+        pad = F.md5(F.col("id").cast("string"))
+        left = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), pad.alias("rpad"))
+        joined = left.join(right, "k").select("k", "pad")
+        rows = joined.collect()  # executes THIS frame's plan -> AQE finalizes
+        assert len(rows) == 120_000 * 9 // 10 + sum(
+            1 for i in range(120_000) if i % 10 >= 9 and i < 1_000
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
