@@ -68,7 +68,10 @@ def run_at(cores: int, sf_dir: str, runs: int = 3) -> dict:
 
 
 def main() -> None:
+    global QUERIES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:  # explicit query subset for targeted passes
+        QUERIES = sys.argv[3:]
     r8 = run_at(8, sf_dir)
     time.sleep(20)  # host settle: back-to-back sessions pollute samples
     r32 = run_at(32, sf_dir)
