@@ -684,7 +684,7 @@ def q_semdedup(spark, sf_dir):
     )
     aug = emb.select("vec_id", e.alias("embedding")).unionByName(dup)
     return DD.semdedup(
-        aug, anchors=SIM.ivf_anchors(64, 16), n_cells=16, eps=0.96
+        aug, anchors=SIM.ivf_anchors(64, 64), n_cells=64, eps=0.96
     ).orderBy("vec_id")
 
 
@@ -2956,7 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
-        "semdedup": _semdedup_sql(),
+        "semdedup": _semdedup_sql(n_cells=64),
         "windowed_events": """
           select date_trunc('hour', ts) as hour, event_type,
                  count(*) as n_events,
