@@ -492,3 +492,23 @@ def test_substring_dedup_matches_pure_python_reference(spark):
     assert out[2]["n_removed"] == 30         # shifted copy fully stripped
     assert out[3]["clean_text"] == ""        # whole-doc dup -> empty
     assert out[6]["n_dup_spans"] == 2        # two separate stripped regions
+
+
+def test_substring_dedup_rolling_hash_equivalence(spark):
+    """The rolling-hash scale path (JVM xxhash64 tokens + vectorized
+    Rabin-Karp window hashes, no span strings) produces row-identical
+    output to the md5 span-text path on real corpus data."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    md5_rows = sorted(
+        map(tuple, DD.substring_dedup(docs, "doc_id", "text", 20).collect())
+    )
+    roll_rows = sorted(
+        map(
+            tuple,
+            DD.substring_dedup(
+                docs, "doc_id", "text", 20, hasher="rolling"
+            ).collect(),
+        )
+    )
+    assert md5_rows == roll_rows
+    assert any(r[3] > 0 for r in md5_rows), "corpus has no duplicated spans"

@@ -206,3 +206,49 @@ def test_semdedup_drops_planted_twins(spark):
     assert same_cell_twins, "augmentation produced no co-located twins"
     for vid in same_cell_twins:
         assert not by_id[vid]["kept"]
+
+
+def test_semdedup_with_trained_anchors(spark):
+    """Production path: semdedup over k-means-trained anchors (the same
+    distributed trainer the IVF ANN index uses). Trained cells must (a)
+    still drop every planted twin that shares its source's cell, with
+    dup_of == source, (b) co-locate at least as many twins as the
+    untrained crc32 anchors do — the balance/recall win that motivates
+    training, exactly SemDeDup's cluster-then-prune contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.dedup import semdedup
+    from crawlspark.operators.similarity import (
+        ivf_anchors,
+        train_ivf_kmeans_distributed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = F.col("embedding").cast("array<double>")
+    shifted = F.concat(F.slice(e, 2, 1 << 20), F.slice(e, 1, 1))
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(e, shifted, lambda x, y: x + F.lit(0.08) * y).alias("embedding"),
+    )
+    aug = emb.select("vec_id", e.alias("embedding")).unionByName(twins)
+    n_src = emb.count()
+
+    trained = train_ivf_kmeans_distributed(aug, 8, iters=3)
+    out = semdedup(aug, anchors=trained, n_cells=8, eps=0.96).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 2 * n_src
+
+    dropped_twins = [
+        v for v in by_id.values() if v["vec_id"] >= 100000 and not v["kept"]
+    ]
+    # every dropped twin names its source (or an even-nearer smaller id)
+    for r in dropped_twins:
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+    # co-located-twin recall: trained anchors must not lose to untrained
+    out_u = semdedup(
+        aug, anchors=ivf_anchors(64, 8), n_cells=8, eps=0.96
+    ).collect()
+    dropped_u = sum(1 for r in out_u if r["vec_id"] >= 100000 and not r["kept"])
+    assert len(dropped_twins) >= dropped_u
+    assert len(dropped_twins) >= int(0.9 * n_src)  # near-complete twin recall
