@@ -244,6 +244,28 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/test split: near-dup clusters (MinHash-LSH →
+    connected components) assigned to test/train as a pure hash of the
+    CLUSTER id — near-duplicates can never straddle the split."""
+    from crawlspark.operators import sampling as SP
+
+    clustered = DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8
+    ).select("doc_id", "component")
+    return SP.cluster_split(clustered, test_frac=0.2).orderBy("doc_id")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (64-token chunks, 16-token overlap) —
+    the context-window prep stage for training/retrieval corpora."""
+    from crawlspark.operators import textstats as TS
+
+    return TS.chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 64, 16
+    ).orderBy("doc_id", "chunk_pos")
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact-substring dedup (arXiv:2107.06499): stride-1 20-token spans,
     corpus-wide keep-first per span hash, non-first spans merged into
@@ -1976,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "passage_dedup": q_passage_dedup,
         "substring_dedup": q_substring_dedup,
+        "cluster_split": q_cluster_split,
+        "chunk_documents": q_chunk_documents,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
@@ -2305,6 +2329,25 @@ def _dedup_clusters_sql(threshold: float) -> str:
       select d.doc_id,
              coalesce(c.component, d.doc_id) as component,
              cast(coalesce(c.component, d.doc_id) = d.doc_id as int) as is_canonical
+      from documents d
+      left join comp c on c.v = d.doc_id
+      order by doc_id
+    """
+
+
+def _cluster_split_sql(threshold: float, test_frac: float) -> str:
+    """Twin of q_cluster_split: transitive closure (_closure_ctes) +
+    the shared 60-bit md5 hash of 'split:' || component, threshold in
+    the same rounded integer space as sample_stratified."""
+    thr = round(test_frac * 1_000_000)
+    return f"""
+      {_closure_ctes(threshold)}
+      select d.doc_id,
+             coalesce(c.component, d.doc_id) as component,
+             case when ('0x' || substr(md5(
+                    'split:' || coalesce(c.component, d.doc_id)::VARCHAR
+                  ), 1, 15))::BIGINT % 1000000 < {thr}
+                  then 'test' else 'train' end as split
       from documents d
       left join comp c on c.v = d.doc_id
       order by doc_id
@@ -2733,6 +2776,26 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(r.clean_text, '') as clean_text
           from base b left join reb r using (doc_id)
           order by b.doc_id
+        """,
+        "cluster_split": _cluster_split_sql(0.8, 0.2),
+        "chunk_documents": f"""
+          with base as (
+            select doc_id, l, len(l) as n
+            from (select doc_id, {TOK_SQL.format(c='text')} as l from documents)
+            where len(l) > 0
+          ), st as (
+            select doc_id, n, l,
+                   unnest(range(0, greatest(1,
+                       cast(ceil((n - 64) / 48.0) as int) + 1))) as chunk_pos
+            from base
+          )
+          select doc_id, chunk_pos::INT as chunk_pos,
+                 (chunk_pos * 48)::INT as start,
+                 least(64, n - chunk_pos * 48)::INT as n_chunk_tokens,
+                 array_to_string(l[(chunk_pos*48+1):(chunk_pos*48+64)], ' ')
+                   as chunk_text
+          from st
+          order by doc_id, chunk_pos
         """,
         "substring_dedup": f"""
           with base as (

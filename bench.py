@@ -45,6 +45,8 @@ HEADLINE_QUERIES = [
     "ngram_jaccard_capped",
     "passage_dedup",
     "substring_dedup",
+    "chunk_documents",
+    "cluster_split",
     "minhash_lsh",
     "dedup_clusters",
     "dedup_keep_best",

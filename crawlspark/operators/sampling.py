@@ -160,3 +160,40 @@ def mix_sources(
     )
     u = md5_int60(F.col(id_col).cast("string")) % SAMPLE_MOD
     return df.join(F.broadcast(rates), source_col).filter(u < F.col("rate_micro"))
+
+
+def cluster_split(
+    clustered: DataFrame,
+    test_frac: float,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: the split decision is a pure
+    function of the near-dup CLUSTER id, never the document id, so two
+    near-duplicate documents can never straddle the boundary (the
+    published failure mode of naive per-doc splits: test examples whose
+    near-copy sits in train — memorization measured as generalization).
+
+    Input is any (doc_id, component) clustering — ``dedup_clusters``
+    output (components from MinHash-LSH pairs + connected components)
+    is the intended feed. The draw is the shared deterministic 60-bit
+    md5 hash of (salt, component): no rand(), so the same corpus splits
+    identically under retry/resume/repartition AND the assignment is
+    reproducible by any engine with md5 — full DuckDB value-hash twin.
+
+    Pure projection: zero shuffles on top of the clustering. Returns
+    the input plus a ``split`` column ('test' | 'train').
+    """
+    u = (
+        md5_int60(
+            F.concat(F.lit(salt + ":"), F.col(component_col).cast("string"))
+        )
+        % SAMPLE_MOD
+    )
+    thr = F.round(F.lit(float(test_frac)) * SAMPLE_MOD).cast("long")
+    return clustered.select(
+        F.col(id_col),
+        F.col(component_col),
+        F.when(u < thr, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -269,3 +269,60 @@ def pii_scrub(
         scrubbed.alias("scrubbed_text"),
         *counts,
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep stage
+    for training and retrieval corpora: each document becomes
+    fixed-size ``chunk_tokens`` windows starting every
+    ``chunk_tokens - overlap`` tokens, so consecutive chunks share
+    ``overlap`` tokens of context and the tail is always covered.
+
+    Deterministic spec (full DuckDB twin): a document with n > 0 tokens
+    yields K = max(1, ceil((n - chunk_tokens)/stride) + 1) chunks at
+    starts 0, stride, 2*stride, …; the final chunk may be shorter than
+    ``chunk_tokens`` but is never empty. n = 0 yields no rows.
+
+    Plan: one JVM-side transform over a generated start sequence +
+    posexplode — no UDF, no shuffle; the exploded frame is
+    ~n/stride rows per doc with each token copied ~chunk/stride times
+    (the overlap factor, a deliberate storage/context trade the caller
+    sets).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    k = F.greatest(
+        F.lit(1),
+        (F.ceil((F.col("n") - chunk_tokens) / F.lit(float(stride))) + 1).cast(
+            "int"
+        ),
+    )
+    starts = F.transform(F.sequence(F.lit(0), k - 1), lambda i: i * stride)
+    return (
+        base.select(
+            "doc_id", "n", "toks",
+            F.posexplode(starts).alias("chunk_pos", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_pos",
+            "start",
+            F.least(F.lit(chunk_tokens), F.col("n") - F.col("start")).alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )

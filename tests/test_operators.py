@@ -512,3 +512,76 @@ def test_substring_dedup_rolling_hash_equivalence(spark):
     )
     assert md5_rows == roll_rows
     assert any(r[3] > 0 for r in md5_rows), "corpus has no duplicated spans"
+
+
+def test_cluster_split_never_straddles_near_dup_pairs(spark):
+    """Every near-dup pair (and hence every connected component) lands
+    wholly in train or wholly in test; the draw is a pure function of
+    the component id (re-run identical); the test fraction is near the
+    requested rate over components."""
+    from crawlspark.operators.sampling import cluster_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clustered = DD.dedup_clusters(docs, "doc_id", "text", 3, 0.8).select(
+        "doc_id", "component"
+    )
+    out = cluster_split(clustered, test_frac=0.3).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    # one split value per component
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # no near-dup pair straddles
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    assert pairs, "corpus has no near-dup pairs to exercise the property"
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+        assert comp_of[p["id_a"]] == comp_of[p["id_b"]]
+    # deterministic re-run
+    again = {r["doc_id"]: r["split"] for r in cluster_split(
+        clustered, test_frac=0.3).collect()}
+    assert again == split_of
+    frac = sum(1 for s in by_comp.values() if s == {"test"}) / len(by_comp)
+    assert 0.15 < frac < 0.45, frac
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Chunks start every (chunk - overlap) tokens, consecutive chunks
+    share exactly `overlap` tokens, the tail is covered, no chunk is
+    empty, and re-concatenating the non-overlapped prefixes rebuilds
+    the document."""
+    from crawlspark.operators.textstats import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunk, ov = 32, 8
+    rows = chunk_documents(docs, "doc_id", "text", chunk, ov).collect()
+    import re
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = chunk - ov
+    for doc_id, text in texts.items():
+        words = [w for w in tok_re.split(text.lower()) if w]
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_pos"])
+        if not words:
+            assert not got
+            continue
+        n = len(words)
+        expect_k = max(1, -(-(n - chunk) // stride) + 1)
+        assert len(got) == expect_k, (doc_id, n, len(got), expect_k)
+        for r in got:
+            ctoks = r["chunk_text"].split()
+            assert r["start"] == r["chunk_pos"] * stride
+            assert len(ctoks) == r["n_chunk_tokens"] == min(chunk, n - r["start"])
+            # each chunk is exactly the token-slice at its start — so
+            # consecutive chunks share exactly `ov` tokens and their
+            # union covers [0, n)
+            assert ctoks == words[r["start"]:r["start"] + chunk]
+        assert got[-1]["start"] + got[-1]["n_chunk_tokens"] == n  # tail covered
