@@ -1167,6 +1167,39 @@ def q_revenue_by_nation(spark, sf_dir):
     return spark.sql(REVENUE_BY_NATION_SQL)
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Multi-level aggregate (ROLLUP): revenue at (nation, priority),
+    per-nation subtotal, and grand total in ONE pass — Spark's rollup
+    is a single shuffle producing all grouping sets via Expand (no
+    re-scan per level; the way OLAP cubes aggregate at 10^10 rows).
+    grouping_id disambiguates subtotal rows from real NULL keys."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", "o_orderpriority", "gid", "revenue", "n_items")
+        .orderBy("gid", "n_name", "o_orderpriority")
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2000,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "cluster_split": q_cluster_split,
         "chunk_documents": q_chunk_documents,
+        "revenue_rollup": q_revenue_rollup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
@@ -2778,6 +2812,21 @@ def oracle_sql() -> dict[str, str]:
           order by b.doc_id
         """,
         "cluster_split": _cluster_split_sql(0.8, 0.2),
+        # Spark grouping_id() for ROLLUP(a,b): 0=leaf, 1=per-a subtotal,
+        # 3=grand total; DuckDB GROUPING(a,b) emits the same encoding
+        "revenue_rollup": """
+          select n.n_name, o.o_orderpriority,
+                 grouping(n.n_name, o.o_orderpriority)::BIGINT as gid,
+                 (sum(l.l_extendedprice::DECIMAL(18,4)
+                      * (1 - l.l_discount)::DECIMAL(18,4)))::DOUBLE as revenue,
+                 count(*) as n_items
+          from lineitem l
+          join orders o on l.l_orderkey = o.o_orderkey
+          join customer c on o.o_custkey = c.c_custkey
+          join nation n on c.c_nationkey = n.n_nationkey
+          group by rollup(n.n_name, o.o_orderpriority)
+          order by gid, n_name, o_orderpriority
+        """,
         "chunk_documents": f"""
           with base as (
             select doc_id, l, len(l) as n

@@ -37,6 +37,7 @@ from crawlspark.session import get_spark
 
 HEADLINE_QUERIES = [
     "pricing_summary",
+    "revenue_rollup",
     "top_revenue_orders",
     "politeness_quota",
     "top50_words",
