@@ -1633,6 +1633,15 @@ def q_bucketed_join(spark, sf_dir):
     tag = f"{_SESS_STREAM_SEQ[0]}"
     bo = write_bucketed(orders, f"bq_orders_{tag}", "o_orderkey", 8, f"{work}/o")
     bl = write_bucketed(li, f"bq_lineitem_{tag}", "l_orderkey", 8, f"{work}/l")
+
+    def _drop_tables(s=spark, t=tag):  # catalog hygiene: dirs are GC'd
+        try:  # above; don't leak the table entries either
+            s.sql(f"drop table if exists bq_orders_{t}")
+            s.sql(f"drop table if exists bq_lineitem_{t}")
+        except Exception:
+            pass  # session already stopped
+
+    atexit.register(_drop_tables)
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     return (
         bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
