@@ -889,9 +889,9 @@ def q_video_frames(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """Audio feature extraction (RMS / peak / zero-crossings), format
-    rotation: even doc ids arrive G.711 µ-law companded (REAL compressed
-    decode path), odd ids as raw int16 PCM. Rows-only check (goldens
-    pin values)."""
+    rotation by doc_id % 3: G.711 µ-law companded, raw int16 PCM, and
+    IMA ADPCM (4-bit, 4:1) — BOTH compressed decode paths are real.
+    Rows-only check (goldens pin values)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -914,10 +914,12 @@ def q_audio_features(spark, sf_dir):
             for d in pdf["doc_id"]:
                 d = int(d)
                 pcm = MM.waveform_for_id(f"aud{d}")
-                if d % 2 == 0:
+                if d % 3 == 0:
                     rows.append((f"aud{d}", MM.ulaw_encode(pcm), "ulaw"))
-                else:
+                elif d % 3 == 1:
                     rows.append((f"aud{d}", pcm.tobytes(), "pcm16"))
+                else:
+                    rows.append((f"aud{d}", MM.adpcm_encode(pcm), "adpcm"))
             yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
 
     audio = docs.mapInPandas(gen, schema)

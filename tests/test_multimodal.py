@@ -158,3 +158,30 @@ def test_phash_neardup_matches_brute_force(spark):
     found_planted = planted & truth
     # the one-pixel perturbation keeps most planted pairs within Hamming 3
     assert len(found_planted) >= len(planted) * 0.8
+
+
+def test_adpcm_roundtrip_and_decode_path(spark):
+    """IMA ADPCM: 4:1 compression, deterministic encode, SNR >= 20 dB on
+    the synthetic corpus waveform (the codec's typical band), and the
+    Spark decode path reports features consistent with the reconstructed
+    (not the original) samples."""
+    import numpy as np
+
+    pcm = MM.waveform_for_id("aud_adpcm_t")
+    enc = MM.adpcm_encode(pcm)
+    assert enc == MM.adpcm_encode(pcm)  # deterministic
+    assert abs(len(pcm) * 2 / len(enc) - 4.0) < 0.05  # ~4:1 vs int16
+    dec = MM.adpcm_decode(enc)
+    assert dec.shape == pcm.shape and dec.dtype == np.int16
+    err = pcm.astype(np.float64) - dec.astype(np.float64)
+    snr = 10 * np.log10(np.mean(pcm.astype(np.float64) ** 2) / np.mean(err**2))
+    assert snr >= 20.0, snr
+    # silence encodes/decodes clean
+    z = MM.adpcm_decode(MM.adpcm_encode(np.zeros(64, dtype=np.int16)))
+    assert np.abs(z.astype(np.int32)).max() <= 8
+    df = spark.createDataFrame(
+        [("audZ", enc, "adpcm")], "audio_id string, bytes binary, fmt string"
+    )
+    r = MM.audio_features(df).collect()[0]
+    assert r["n_samples"] == len(pcm)
+    assert r["peak"] == int(np.abs(dec.astype(np.int32)).max())
