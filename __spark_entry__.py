@@ -1406,23 +1406,17 @@ def q_sessionize_stream(spark, sf_dir):
     (crawlspark.streaming.stateful). The converged per-user state must
     equal the batch lag-window answer — so it shares that oracle SQL.
     One of the few stream operators with a full value-hash check."""
-    import glob
     import os
     import shutil
     import tempfile
 
     from crawlspark.streaming.stateful import sessionize_stream
 
+    from crawlspark.streaming.ingest import stage_micro_batches
+
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    lo = ev.orderBy("ts", "event_id").limit(int(ev.count() // 2))
-    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
     work = tempfile.mkdtemp(prefix="sess_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    for i, part in enumerate((lo, hi)):
-        stage = os.path.join(work, f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+    src = stage_micro_batches(ev, ["ts", "event_id"], work)
 
     _SESS_STREAM_SEQ[0] += 1
     qname = f"sess_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
@@ -1466,7 +1460,6 @@ def q_dedup_stream(spark, sf_dir):
     batches, only newly-kept docs are emitted, and because batches
     arrive in doc_id order the drained output equals the batch
     keep-min-id answer — full value-hash SQL twin."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -1478,15 +1471,10 @@ def q_dedup_stream(spark, sf_dir):
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 2))).alias("key"),
     )
-    lo = docs.orderBy("doc_id").limit(int(docs.count() // 2))
-    hi = docs.join(lo.select("doc_id"), "doc_id", "left_anti")
+    from crawlspark.streaming.ingest import stage_micro_batches
+
     work = tempfile.mkdtemp(prefix="dedup_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    for i, part in enumerate((lo, hi)):
-        stage = os.path.join(work, f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+    src = stage_micro_batches(docs, ["doc_id"], work)
 
     _SESS_STREAM_SEQ[0] += 1
     qname = f"dedup_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
@@ -1522,7 +1510,6 @@ def q_windowed_events_stream(spark, sf_dir):
     (availableNow can't advance the watermark past the final windows in
     append mode), so the converged table must equal the batch answer —
     it shares windowed_events' oracle SQL."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -1535,15 +1522,10 @@ def q_windowed_events_stream(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
-    lo = ev.orderBy("ts", "event_id").limit(int(ev.count() // 2))
-    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
+    from crawlspark.streaming.ingest import stage_micro_batches
+
     work = tempfile.mkdtemp(prefix="winev_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    for i, part in enumerate((lo, hi)):
-        stage = os.path.join(work, f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+    src = stage_micro_batches(ev, ["ts", "event_id"], work)
 
     _SESS_STREAM_SEQ[0] += 1
     qname = f"winev_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
@@ -1573,22 +1555,16 @@ def q_stream_enrich(spark, sf_dir):
     a small dim) in APPEND mode — stream-static joins need no watermark
     or state store, so this drains exactly once per input row. Oracle is
     the plain batch join."""
-    import glob
     import os
     import shutil
     import tempfile
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    lo = ev.orderBy("event_id").limit(int(ev.count() // 2))
-    hi = ev.join(lo.select("event_id"), "event_id", "left_anti")
+    from crawlspark.streaming.ingest import stage_micro_batches
+
     work = tempfile.mkdtemp(prefix="enrich_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    for i, part in enumerate((lo, hi)):
-        stage = os.path.join(work, f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
+    src = stage_micro_batches(ev, ["event_id"], work)
 
     _SESS_STREAM_SEQ[0] += 1
     qname = f"enrich_stream_{os.getpid()}_{_SESS_STREAM_SEQ[0]}"
@@ -1663,31 +1639,30 @@ def q_stream_stream_join(spark, sf_dir):
     time-range condition bound the state store (the production concern);
     inner-join emission is batch-equal at any micro-batch granularity,
     so the oracle is the plain batch join."""
-    import glob
     import os
     import shutil
     import tempfile
 
-    from crawlspark.streaming.ingest import attribution_join_stream
+    from crawlspark.streaming.ingest import (
+        attribution_join_stream,
+        stage_micro_batches,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
     )
     work = tempfile.mkdtemp(prefix="ssjoin_stream_")
-    srcs = {}
-    for kind in ("view", "click"):
-        side = ev.filter(F.col("event_type") == kind).select(
-            "event_id", "ts", "user_id"
+    srcs = {
+        kind: stage_micro_batches(
+            ev.filter(F.col("event_type") == kind).select(
+                "event_id", "ts", "user_id"
+            ),
+            ["ts", "event_id"],
+            work,
+            sub=f"src_{kind}",
         )
-        lo = side.orderBy("ts", "event_id").limit(int(side.count() // 2))
-        hi = side.join(lo.select("event_id"), "event_id", "left_anti")
-        src = os.path.join(work, f"src_{kind}")
-        os.makedirs(src)
-        for i, part in enumerate((lo, hi)):
-            stage = os.path.join(work, f"stage_{kind}{i}")
-            part.coalesce(1).write.parquet(stage)
-            shutil.copy(glob.glob(f"{stage}/*.parquet")[0], f"{src}/{i:02d}.parquet")
-        srcs[kind] = src
+        for kind in ("view", "click")
+    }
 
     schema = "event_id long, ts timestamp, user_id long"
     views = (

@@ -959,7 +959,13 @@ def semdedup(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a = ca.join(v, "vec_id")
+    # persist the assignment+vector frame: it feeds BOTH sides of the
+    # cell self-join and the final left join — without the cache one
+    # action re-runs the Arrow GEMM assignment pass and the corpus scan
+    # three times (released via release_caches on the next entry call)
+    release_caches()
+    a = _persist(ca.join(v, "vec_id"))
+    ca = a.select("vec_id", "cell")
     b = a.select(
         F.col("vec_id").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
     )
@@ -993,6 +999,7 @@ def _rolling_span_hashes(base: DataFrame, L: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    id_type = dict(base.dtypes)["doc_id"]
     th = base.filter(F.col("n_tokens") >= L).select(
         "doc_id",
         F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th"),
@@ -1019,19 +1026,21 @@ def _rolling_span_hashes(base: DataFrame, L: int) -> DataFrame:
                     pref = np.zeros(n + 1, dtype=np.uint64)
                     np.cumsum(t * binv, out=pref[1:])
                     w = (pref[L:] - pref[:m]) * bpow[L - 1 :]
-                ids.append(np.full(m, doc_id, dtype=np.int64))
+                # plain-python repeat keeps arbitrary id types intact
+                # (string URL keys as well as longs)
+                ids.extend([doc_id] * m)
                 poss.append(np.arange(m, dtype=np.int32))
                 hs.append(w.view(np.int64))
             if ids:
                 yield pd.DataFrame(
                     {
-                        "doc_id": np.concatenate(ids),
+                        "doc_id": pd.Series(ids),
                         "pos": np.concatenate(poss),
                         "h": np.concatenate(hs),
                     }
                 )
 
-    return th.mapInPandas(gen, schema="doc_id long, pos int, h long")
+    return th.mapInPandas(gen, schema=f"doc_id {id_type}, pos int, h long")
 
 
 def substring_dedup(

@@ -193,7 +193,6 @@ def cluster_split(
     )
     thr = F.round(F.lit(float(test_frac)) * SAMPLE_MOD).cast("long")
     return clustered.select(
-        F.col(id_col),
-        F.col(component_col),
+        "*",
         F.when(u < thr, F.lit("test")).otherwise(F.lit("train")).alias("split"),
     )

@@ -206,3 +206,50 @@ def attribution_join_stream(
         F.col("c.ts").alias("click_ts"),
         (F.unix_timestamp("c.ts") - F.unix_timestamp("v.ts")).alias("lag_s"),
     )
+
+
+def stage_micro_batches(
+    df: DataFrame,
+    order_cols: list[str],
+    work: str,
+    sub: str = "src",
+    n_parts: int = 2,
+) -> str:
+    """Stage a batch frame as ``n_parts`` single-file parquet
+    micro-batches under ``work/sub`` whose lexicographic file names ARE
+    the replay order: file i holds the i-th contiguous row range under
+    ``order_cols`` (pass a deterministic total order — include a unique
+    tie-break column). Returns the directory for
+    ``spark.readStream.schema(...).option("maxFilesPerTrigger", 1)
+    .parquet(...)``.
+
+    This is the one shared implementation of the replay-staging pattern
+    every streaming driver query and stream test uses — the subtle
+    invariants (deterministic total order; zero-padded names doubling as
+    arrival order; one file == one micro-batch) live here once.
+    Test/driver-scale utility: the global row_number is a single-task
+    sort by construction.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    n = df.count()
+    src = os.path.join(work, sub)
+    os.makedirs(src, exist_ok=True)
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    rn = df.withColumn("_rn", F.row_number().over(w) - 1)
+    per = max(1, math.ceil(n / n_parts))
+    for i in range(n_parts):
+        part = rn.filter(
+            (F.col("_rn") >= i * per) & (F.col("_rn") < (i + 1) * per)
+        ).drop("_rn")
+        stage = os.path.join(work, f"{sub}_stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        files = glob.glob(f"{stage}/*.parquet")
+        if files:
+            shutil.copy(files[0], os.path.join(src, f"{i:02d}.parquet"))
+    return src

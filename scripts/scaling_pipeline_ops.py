@@ -9,7 +9,7 @@ warmup; the min is the comparable number). Reports per-query 8→32
 speedup — the no-regression bar is speedup >= 0.75 (never >25% slower
 with 4x cores).
 
-Usage: python scripts/scaling_pipeline_ops.py [sf_dir] [out_json]
+Usage: python scripts/scaling_pipeline_ops.py [sf_dir] [out.json] [query ...]
 """
 
 from __future__ import annotations
@@ -70,16 +70,23 @@ def run_at(cores: int, sf_dir: str, runs: int = 3) -> dict:
 def main() -> None:
     global QUERIES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    if len(sys.argv) > 3:  # explicit query subset for targeted passes
-        QUERIES = sys.argv[3:]
+    # optional out_json (must end in .json), then an explicit query
+    # subset for targeted passes
+    rest = sys.argv[2:]
+    out_path = None
+    if rest and rest[0].endswith(".json"):
+        out_path = rest[0]
+        rest = rest[1:]
+    if rest:
+        QUERIES = rest
     r8 = run_at(8, sf_dir)
     time.sleep(20)  # host settle: back-to-back sessions pollute samples
     r32 = run_at(32, sf_dir)
     out = {"sf_dir": sf_dir, "local8": r8, "local32": r32, "speedup_8_to_32": {}}
     for name in QUERIES:
         out["speedup_8_to_32"][name] = round(r8[name]["best"] / r32[name]["best"], 2)
-    if len(sys.argv) > 2:
-        with open(sys.argv[2], "w") as f:
+    if out_path:
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -512,6 +512,19 @@ def test_substring_dedup_rolling_hash_equivalence(spark):
     )
     assert md5_rows == roll_rows
     assert any(r[3] > 0 for r in md5_rows), "corpus has no duplicated spans"
+    # id-type genericity: the scale path must accept non-integer keys
+    # (e.g. URL-keyed corpora), matching the md5 path
+    sdocs = docs.selectExpr("concat('u', doc_id) as doc_id", "text")
+    s_md5 = sorted(map(tuple, DD.substring_dedup(sdocs, "doc_id", "text", 20).collect()))
+    s_roll = sorted(
+        map(
+            tuple,
+            DD.substring_dedup(
+                sdocs, "doc_id", "text", 20, hasher="rolling"
+            ).collect(),
+        )
+    )
+    assert s_md5 == s_roll
 
 
 def test_cluster_split_never_straddles_near_dup_pairs(spark):

@@ -160,10 +160,10 @@ def test_stream_stream_join_granularity_invariant(spark, tmp_path):
     micro-batch granularity: 4 one-file triggers vs one big trigger vs
     the plain batch join all yield the same pair set, and the watermark +
     time-range condition registers a bounded state operator."""
-    import glob
-    import shutil
-
-    from crawlspark.streaming.ingest import attribution_join_stream
+    from crawlspark.streaming.ingest import (
+        attribution_join_stream,
+        stage_micro_batches,
+    )
 
     sf = "/root/testdata/sf0.001"
     ev = (
@@ -171,24 +171,18 @@ def test_stream_stream_join_granularity_invariant(spark, tmp_path):
         .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
                 "user_id", "event_type")
     )
-    sides = {}
-    for kind in ("view", "click"):
-        side = ev.filter(F.col("event_type") == kind).select(
-            "event_id", "ts", "user_id"
+    sides = {
+        kind: stage_micro_batches(
+            ev.filter(F.col("event_type") == kind).select(
+                "event_id", "ts", "user_id"
+            ),
+            ["ts", "event_id"],
+            str(tmp_path),
+            sub=f"src_{kind}",
+            n_parts=4,
         )
-        n = side.count()
-        parts = []
-        ordered = side.orderBy("ts", "event_id")
-        rows = ordered.collect()
-        quarter = max(1, n // 4)
-        src = tmp_path / f"src_{kind}"
-        src.mkdir()
-        for i in range(4):
-            chunk = rows[i * quarter:(i + 1) * quarter] if i < 3 else rows[3 * quarter:]
-            stage = str(tmp_path / f"stage_{kind}{i}")
-            spark.createDataFrame(chunk, side.schema).coalesce(1).write.parquet(stage)
-            shutil.copy(glob.glob(f"{stage}/*.parquet")[0], str(src / f"{i:02d}.parquet"))
-        sides[kind] = str(src)
+        for kind in ("view", "click")
+    }
 
     schema = "event_id long, ts timestamp, user_id long"
 
