@@ -942,6 +942,33 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """NATIVE session windows: F.session_window(ts, gap) — the engine
+    operator behind streaming sessionization (state-store-backed there,
+    one groupBy here). Spark's window = [min ts, max ts + gap); the
+    DuckDB twin rebuilds the same islands with a lag/cumsum gap split.
+    Complements `sessionize` (hand-built lag windows): same semantics,
+    operator-level implementation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag window + cumulative sum)."""
     from pyspark.sql import Window
@@ -2052,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tfidf_topk": q_tfidf_topk,
@@ -3092,6 +3120,29 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n_events,
                  (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value
           from events group by 1, 2 order by hour, event_type
+        """,
+        # Spark session_window: same session iff gap < 30 min (strict),
+        # window end = max ts + gap
+        "session_window": """
+          with s as (
+            select user_id, ts, event_id, value,
+              case when lag(ts) over w is null
+                   or epoch_us(ts) - epoch_us(lag(ts) over w) >= 1800000000
+                   then 1 else 0 end as new_s
+            from events window w as (partition by user_id order by ts, event_id)
+          ), g as (
+            select user_id, ts, value,
+                   sum(new_s) over (partition by user_id
+                                    order by ts, event_id
+                                    rows unbounded preceding) as sid
+            from s
+          )
+          select user_id, min(ts) as session_start,
+                 max(ts) + interval 30 minutes as session_end,
+                 count(*) as n_events,
+                 (sum(value::DECIMAL(18,6)))::DOUBLE as sum_value
+          from g group by user_id, sid
+          order by user_id, session_start
         """,
         "sessionize": """
           select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events from (

@@ -69,6 +69,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_trained",
     "url_canonicalize",
     "sessionize",
+    "session_window",
     "asof_join",
     "range_join",
     "bucketed_join",
