@@ -266,6 +266,19 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_pos")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (arXiv:2302.03169): score every document
+    by hashed-ngram likelihood under the English stratum (the target)
+    vs the whole corpus — the data-selection stage that tilts a web
+    crawl toward a quality/domain target before sampling."""
+    from crawlspark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text", 4096
+    ).orderBy("doc_id")
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact-substring dedup (arXiv:2107.06499): stride-1 20-token spans,
     corpus-wide keep-first per span hash, non-first spans merged into
@@ -2044,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "passage_dedup": q_passage_dedup,
         "substring_dedup": q_substring_dedup,
+        "dsir_weights": q_dsir_weights,
         "cluster_split": q_cluster_split,
         "chunk_documents": q_chunk_documents,
         "revenue_rollup": q_revenue_rollup,
@@ -2824,6 +2838,41 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(r.clean_text, '') as clean_text
           from base b left join reb r using (doc_id)
           order by b.doc_id
+        """,
+        "dsir_weights": f"""
+          with sl as (select doc_id, {TOK_SQL.format(c='text')} as l
+                      from documents),
+          f as (
+            select doc_id,
+                   ('0x' || substr(md5(ft), 1, 15))::BIGINT % 4096 as b
+            from (
+              select doc_id,
+                     unnest(l || [l[i] || ' ' || l[i+1]
+                                  for i in range(1, greatest(len(l)-1,0)+1)]) as ft
+              from sl)
+          ), tf as (
+            select f.b from f join documents d using (doc_id)
+            where d.lang = 'en'
+          ), sc as (select b, count(*) as s_n from f group by b),
+          tc as (select b, count(*) as t_n from tf group by b),
+          tot as (select (select sum(s_n) from sc) as s_total,
+                         (select sum(t_n) from tc) as t_total),
+          lr as (
+            select sc.b,
+                   cast(round(ln(
+                     ((coalesce(tc.t_n, 0) + 1) * (tot.s_total + 4096))::DOUBLE
+                     / ((sc.s_n + 1) * (tot.t_total + 4096))::DOUBLE
+                   ), 6) as DECIMAL(18,6)) as lr
+            from sc left join tc using (b) cross join tot
+          ), pd as (
+            select f.doc_id, count(*) as n_feats,
+                   (sum(lr.lr))::DOUBLE as log_weight
+            from f join lr using (b) group by f.doc_id
+          )
+          select d.doc_id, coalesce(pd.n_feats, 0)::BIGINT as n_feats,
+                 coalesce(pd.log_weight, 0.0) as log_weight
+          from documents d left join pd using (doc_id)
+          order by d.doc_id
         """,
         "cluster_split": _cluster_split_sql(0.8, 0.2),
         # Spark grouping_id() for ROLLUP(a,b): 0=leaf, 1=per-a subtotal,

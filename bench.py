@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "lm_perplexity",
     "pii_scrub",
     "mix_sources",
+    "dsir_weights",
     "simhash_pairs",
     "embedding_topk",
     "embedding_neardup",

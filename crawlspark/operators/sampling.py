@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawlspark.functions.text import md5_int60, token_count
+from crawlspark.functions.text import md5_int60, token_count, tokens
+from crawlspark.functions.text import word_ngrams as _word_ngrams
 
 # Bernoulli draw resolution: u = (hash(id) % 1e6) / 1e6 — matches the
 # DuckDB twin exactly in integer space before the single division
@@ -195,4 +196,94 @@ def cluster_split(
     return clustered.select(
         "*",
         F.when(u < thr, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): score every source document by how much
+    more likely its hashed n-gram features are under the TARGET
+    distribution than under the source distribution —
+    log w(doc) = sum over feature occurrences of
+    ln(p_target(b)/p_source(b)), with unigram+bigram features hashed
+    into ``n_buckets`` buckets (the paper's hashed n-gram generative
+    model) and Laplace smoothing on both sides. Resample by these
+    weights (e.g. ``sample_weighted``) to tilt a web corpus toward a
+    quality/domain target.
+
+    Plan shape (the two passes are inherent to DSIR): feature explode →
+    one B-sized hash aggregate per side (map-side partial; B is fixed,
+    so the count tables stay KB-sized at any corpus size and the
+    log-ratio table broadcasts), then explode again → broadcast join →
+    per-doc aggregate. Totals come from the B-sized tables (one tiny
+    driver read), never from a count over the feature stream.
+
+    Determinism: buckets use the shared 60-bit md5 hash; the per-bucket
+    log-ratio is rounded to 6 dp and summed as DECIMAL(18,6), so the
+    per-doc sum is order-independent and the DuckDB twin reproduces it
+    bit-for-bit. Docs with no features get n_feats = 0, log_weight = 0.
+
+    Returns (doc_id, n_feats, log_weight).
+    """
+    B = int(n_buckets)
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = tokens(F.col(text_col))
+        f = F.concat(t, _word_ngrams(t, 2))
+        return (
+            df.select(F.col(id_col).alias("doc_id"), F.explode(f).alias("ft"))
+            .select("doc_id", (md5_int60(F.col("ft")) % B).alias("b"))
+        )
+
+    src_f = feats(source)
+    tgt_counts = feats(target).groupBy("b").agg(F.count("*").alias("t_n"))
+    src_counts = src_f.groupBy("b").agg(F.count("*").alias("s_n"))
+    totals = src_counts.agg(F.sum("s_n")).first()[0] or 0
+    t_total = tgt_counts.agg(F.sum("t_n")).first()[0] or 0
+    # lr(b) = ln( (t_b+1)(S+B) / ((s_b+1)(T+B)) ), 6-dp DECIMAL —
+    # buckets never seen in source can't occur in source docs, so the
+    # source-count left join is total by construction
+    lr = (
+        src_counts.join(tgt_counts, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_n"), F.lit(0)) + 1)
+                        * F.lit(int(totals) + B)
+                    ).cast("double")
+                    / ((F.col("s_n") + 1) * F.lit(int(t_total) + B)).cast(
+                        "double"
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    per_doc = (
+        src_f.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lr").cast("double").alias("log_weight"),
+        )
+    )
+    return (
+        source.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
     )

@@ -598,3 +598,24 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
             # union covers [0, n)
             assert ctoks == words[r["start"]:r["start"] + chunk]
         assert got[-1]["start"] + got[-1]["n_chunk_tokens"] == n  # tail covered
+
+
+def test_dsir_weights_tilt_toward_target_stratum(spark):
+    """DSIR importance weights: documents from the target stratum (en)
+    must score higher on average than off-target documents — the tilt
+    that makes weighted resampling select target-like data. Empty-safe:
+    every source doc gets exactly one row."""
+    from crawlspark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "en")).collect()
+    assert len(out) == docs.count()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [r["log_weight"] for r in out if langs[r["doc_id"]] == "en"]
+    other = [r["log_weight"] for r in out if langs[r["doc_id"]] != "en"]
+    assert en and other
+    # normalize by features so long docs don't dominate the comparison
+    per = {r["doc_id"]: r["log_weight"] / max(r["n_feats"], 1) for r in out}
+    en_m = sum(per[d] for d in per if langs[d] == "en") / len(en)
+    ot_m = sum(per[d] for d in per if langs[d] != "en") / len(other)
+    assert en_m > ot_m, (en_m, ot_m)
