@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 from crawlspark.functions.text import md5_int60, token_count, tokens
 from crawlspark.functions.text import word_ngrams as _word_ngrams
 
+# persist registry (same contract as operators/dedup.py): intermediates
+# cached inside an entry point are released on the NEXT call
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 # Bernoulli draw resolution: u = (hash(id) % 1e6) / 1e6 — matches the
 # DuckDB twin exactly in integer space before the single division
 SAMPLE_MOD = 1_000_000
@@ -234,17 +252,30 @@ def dsir_weights(
     """
     B = int(n_buckets)
 
+    from crawlspark.operators.dedup import _spread
+
     def feats(df: DataFrame) -> DataFrame:
         t = tokens(F.col(text_col))
         f = F.concat(t, _word_ngrams(t, 2))
+        # _spread: a single-file corpus otherwise tokenizes+hashes on
+        # ONE core (dedup.py's small-file guard, same hazard here)
         return (
-            df.select(F.col(id_col).alias("doc_id"), F.explode(f).alias("ft"))
+            _spread(df.select(F.col(id_col).alias("doc_id"), text_col))
+            .select("doc_id", F.explode(f).alias("ft"))
             .select("doc_id", (md5_int60(F.col("ft")) % B).alias("b"))
         )
 
     src_f = feats(source)
-    tgt_counts = feats(target).groupBy("b").agg(F.count("*").alias("t_n"))
-    src_counts = src_f.groupBy("b").agg(F.count("*").alias("s_n"))
+    # persist the two B-sized count tables: without the cache, the
+    # totals probes and the log-ratio join would each re-run the full
+    # feature explode (3 extra corpus passes); with it the operator is
+    # the inherent two passes (+1 over the target) — released on the
+    # next dsir_weights/release_caches call
+    release_caches()
+    tgt_counts = _persist(
+        feats(target).groupBy("b").agg(F.count("*").alias("t_n"))
+    )
+    src_counts = _persist(src_f.groupBy("b").agg(F.count("*").alias("s_n")))
     totals = src_counts.agg(F.sum("s_n")).first()[0] or 0
     t_total = tgt_counts.agg(F.sum("t_n")).first()[0] or 0
     # lr(b) = ln( (t_b+1)(S+B) / ((s_b+1)(T+B)) ), 6-dp DECIMAL —
