@@ -14,48 +14,27 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-MODULES = [
-    "crawlspark",
-    "crawlspark.config",
-    "crawlspark.engine",
-    "crawlspark.oracle",
-    "crawlspark.reports",
-    "crawlspark.corpus",
-    "crawlspark.benchcorpus",
-    "crawlspark.session",
-    "crawlspark.functions.text",
-    "crawlspark.functions.urls",
-    "crawlspark.functions.traps",
-    "crawlspark.functions.simhash",
-    "crawlspark.functions.images",
-    "crawlspark.functions.jpeg",
-    "crawlspark.operators.admission",
-    "crawlspark.operators.badurls",
-    "crawlspark.operators.bpe",
-    "crawlspark.operators.dedup",
-    "crawlspark.operators.dust",
-    "crawlspark.operators.fetch",
-    "crawlspark.operators.httpfetch",
-    "crawlspark.operators.joins",
-    "crawlspark.operators.layout",
-    "crawlspark.operators.linkgraph",
-    "crawlspark.operators.lm",
-    "crawlspark.operators.membership",
-    "crawlspark.operators.merge",
-    "crawlspark.operators.multimodal",
-    "crawlspark.operators.robots",
-    "crawlspark.operators.sampling",
-    "crawlspark.operators.schedule",
-    "crawlspark.operators.parse",
-    "crawlspark.operators.sharding",
-    "crawlspark.operators.similarity",
-    "crawlspark.operators.sketches",
-    "crawlspark.operators.textstats",
-    "crawlspark.operators.payload",
-    "crawlspark.icelite.table",
-    "crawlspark.streaming.ingest",
-    "crawlspark.streaming.stateful",
-]
+def _discover_modules() -> list[str]:
+    """Every module in the package, from the files on disk — a new
+    operator can't silently miss the zip-import gate."""
+    mods = []
+    pkg_root = os.path.join(REPO, "crawlspark")
+    for dirpath, _, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fn), REPO)
+            mod = rel[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            mods.append(mod)
+    assert len(mods) >= 40, mods  # the package should only ever grow
+    return sorted(mods)
+
+
+MODULES = _discover_modules()
 
 
 def test_pyfiles_zip_is_self_contained(tmp_path):
