@@ -917,6 +917,7 @@ def semdedup(
     eps: float = 0.96,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "join",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means-style clustering + within-cluster cosine pruning. The insight
@@ -942,7 +943,11 @@ def semdedup(
 
     Default ``anchors=None`` synthesizes the crc32-seeded deterministic
     anchors (oracle-exact); pass ``train_ivf_kmeans_distributed``
-    centroids in production for balanced cells.
+    centroids in production for balanced cells. ``method="join"``
+    (default) prunes via the SQL-twinnable hash self-join;
+    ``method="gemm"`` runs one numpy cosine matrix per cell
+    (applyInPandas) — the production kernel, row-identical on real data
+    (gated in tests).
 
     Output: (vec_id, cell, kept, dup_of) — one row per corpus vector.
     """
@@ -966,17 +971,12 @@ def semdedup(
     release_caches()
     a = _persist(ca.join(v, "vec_id"))
     ca = a.select("vec_id", "cell")
-    b = a.select(
-        F.col("vec_id").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
-    )
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("b_id") < F.col("vec_id"))
-        .withColumn("cos", F.round(_cosine(F.col("v"), F.col("bv")), 6))
-        .filter(F.col("cos") >= F.lit(eps))
-        .groupBy("vec_id")
-        .agg(F.min("b_id").alias("dup_of"))
-    )
+    if method == "gemm":
+        dup = _semdedup_cells_gemm(a, corpus.schema[id_col].dataType, eps)
+    elif method != "join":
+        raise ValueError(f"unknown method {method!r}")
+    if method == "join":
+        dup = _semdedup_cells_join(a, eps)
     return (
         ca.join(dup, "vec_id", "left")
         .select(
@@ -986,6 +986,64 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def _semdedup_cells_join(a: DataFrame, eps: float) -> DataFrame:
+    """Within-cell keep-lowest-id pruning as a hash self-join on the
+    cell id with the JVM-side zip_with/aggregate cosine — the
+    oracle-auditable path (every op has an exact SQL twin)."""
+    from crawlspark.operators.similarity import _cosine
+
+    b = a.select(
+        F.col("vec_id").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .withColumn("cos", F.round(_cosine(F.col("v"), F.col("bv")), 6))
+        .filter(F.col("cos") >= F.lit(eps))
+        .groupBy("vec_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+
+
+def _semdedup_cells_gemm(a: DataFrame, id_type, eps: float) -> DataFrame:
+    """Within-cell pruning as ONE numpy cosine matrix per cell
+    (applyInPandas) — the production kernel: a 10^4-vector cell is a
+    single BLAS matmul instead of 10^8 interpreted zip_with cosines.
+    Output is row-identical to the join path up to last-ulp rounding
+    boundaries (asserted on real data in tests); cells are
+    constant-size by design (cells ∝ N), so the n_i^2 sub-matrix is
+    memory-bounded — block the matmul per cell if cells are ever
+    allowed to grow past memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("dup_of", id_type),
+        ]
+    )
+
+    def cell_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = np.inf
+        m = m / nrm
+        cos = np.round(m @ m.T, 6)
+        tri = np.tril(cos >= eps, k=-1)  # strictly-smaller ids after sort
+        hit = np.where(tri.any(axis=1))[0]
+        if not hit.size:
+            return pd.DataFrame({"vec_id": ids[:0], "dup_of": ids[:0]})
+        first = tri[hit].argmax(axis=1)  # first True = smallest id
+        return pd.DataFrame({"vec_id": ids[hit], "dup_of": ids[first]})
+
+    return a.groupBy("cell").applyInPandas(cell_prune, schema)
 
 
 def _rolling_span_hashes(base: DataFrame, L: int) -> DataFrame:

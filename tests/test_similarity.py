@@ -252,3 +252,32 @@ def test_semdedup_with_trained_anchors(spark):
     dropped_u = sum(1 for r in out_u if r["vec_id"] >= 100000 and not r["kept"])
     assert len(dropped_twins) >= dropped_u
     assert len(dropped_twins) >= int(0.9 * n_src)  # near-complete twin recall
+
+
+def test_semdedup_gemm_kernel_matches_join_path(spark):
+    """The production GEMM kernel (one numpy cosine matrix per cell) is
+    row-identical to the oracle-auditable join path on real corpus data
+    with planted twins."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.dedup import semdedup
+    from crawlspark.operators.similarity import ivf_anchors
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = F.col("embedding").cast("array<double>")
+    shifted = F.concat(F.slice(e, 2, 1 << 20), F.slice(e, 1, 1))
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(e, shifted, lambda x, y: x + F.lit(0.08) * y).alias("embedding"),
+    )
+    aug = emb.select("vec_id", e.alias("embedding")).unionByName(twins)
+    anchors = ivf_anchors(64, 8)
+    j = sorted(map(tuple, semdedup(aug, anchors=anchors, n_cells=8).collect()))
+    g = sorted(
+        map(
+            tuple,
+            semdedup(aug, anchors=anchors, n_cells=8, method="gemm").collect(),
+        )
+    )
+    assert j == g and len(j) == 2 * emb.count()
+    assert any(not r[2] for r in j)  # some twins actually dropped
