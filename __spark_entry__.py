@@ -3065,7 +3065,7 @@ def oracle_sql() -> dict[str, str]:
             from documents
           ),
           s as (
-            select shard, count(*) as n_docs, sum(n_chars) as total_chars
+            select shard, count(*) as n_docs, sum(n_chars)::BIGINT as total_chars
             from a group by shard
           ),
           f as (
@@ -3324,7 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
           select event_type, count(*) as n,
-                 sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) as sum_k,
+                 sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT as sum_k,
                  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) as max_k
           from events group by event_type order by event_type
         """,

@@ -102,8 +102,17 @@ def token_count(text: Column) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (shingles) of ``toks``."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    """Array of space-joined word n-grams (shingles) of ``toks``.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array:
+    ``sequence(1, size-n+1)`` would be descending (``[1, 0]``) there and
+    ``element_at(toks, 0)`` throws under ANSI semantics, so the short
+    case is gated out explicitly rather than clamped.
+    """
+    idx = F.when(
+        F.size(toks) >= F.lit(n),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

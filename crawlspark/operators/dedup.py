@@ -1221,7 +1221,7 @@ def substring_dedup(
         base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
             F.concat_ws(

@@ -53,7 +53,7 @@ def tfidf_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("doc_id", "term", "score", "rk")
+        .select("doc_id", "term", "score", F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -257,9 +257,9 @@ def pii_scrub(
     counts = []
     for name, pat, _tag in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
         )
     scrubbed = text
     for _name, pat, tag in PII_PATTERNS:

@@ -25,6 +25,37 @@ TABLES = [
 ]
 
 
+def canon_type(t: str) -> str:
+    """Canonicalize a Spark simpleString / DuckDB type string to a shared tag.
+
+    The driver's correctness gate hashes values *with their arrow types*, so
+    a DuckDB HUGEINT (from sum over INTEGER) vs Spark BIGINT diverges even
+    when values are identical. Mirror that strictness here.
+    """
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return f"list<{canon_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{canon_type(t[6:-1])}>"
+    m = {
+        "bigint": "i64", "long": "i64",
+        "integer": "i32", "int": "i32",
+        "smallint": "i16", "tinyint": "i8",
+        "hugeint": "i128", "ubigint": "u64", "uinteger": "u32",
+        "double": "f64", "float": "f32", "real": "f32",
+        "varchar": "str", "string": "str", "text": "str",
+        "boolean": "bool", "date": "date",
+        "blob": "bytes", "binary": "bytes",
+    }
+    if t in m:
+        return m[t]
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -55,6 +86,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {f.name.lower(): canon_type(f.dataType.simpleString())
+                       for f in sdf.schema.fields}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -66,6 +99,7 @@ def main():
         try:
             rel = con.sql(osql[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = {c: canon_type(str(t)) for c, t in zip(d_cols, rel.types)}
             d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
@@ -75,6 +109,12 @@ def main():
         if sorted(c.lower() for c in s_cols) != sorted(d_cols):
             ok = False
             print(f"FAIL {name}: columns spark={s_cols} duckdb={d_cols}")
+        elif s_types != d_types:
+            ok = False
+            bad = {c: (s_types.get(c), d_types.get(c))
+                   for c in set(s_types) | set(d_types)
+                   if s_types.get(c) != d_types.get(c)}
+            print(f"FAIL {name}: dtype mismatch (spark, duckdb): {bad}")
         elif len(s_rows) != len(d_rows):
             ok = False
             print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")

@@ -600,6 +600,45 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
         assert got[-1]["start"] + got[-1]["n_chunk_tokens"] == n  # tail covered
 
 
+def test_dsir_weights_short_docs(spark):
+    """Docs tokenizing to 0 or 1 tokens must not crash the bigram
+    feature builder (ANSI element_at on the descending sequence(1,0))
+    and must come back with n_feats >= 0 / finite log_weight — web
+    crawls routinely contain empty and punctuation-only pages."""
+    from crawlspark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", ""),
+            ("d1", "word"),
+            ("d2", "!!! ..."),
+            ("d3", "two tokens here and more to weight"),
+            ("d4", "two tokens here and more to weight again"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, docs).collect()}
+    assert set(out) == {"d0", "d1", "d2", "d3", "d4"}
+    assert out["d0"]["n_feats"] == 0 and out["d0"]["log_weight"] == 0.0
+    assert out["d2"]["n_feats"] == 0 and out["d2"]["log_weight"] == 0.0
+    assert out["d1"]["n_feats"] == 1  # one unigram, no bigram
+    assert out["d3"]["n_feats"] > 1
+
+
+def test_word_ngrams_short_token_arrays(spark):
+    """word_ngrams returns [] (not a crash) when size(toks) < n."""
+    from crawlspark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [([],), (["a"],), (["a", "b"],), (["a", "b", "c"],)],
+        "toks array<string>",
+    )
+    got = [r[0] for r in df.select(word_ngrams(F.col("toks"), 2)).collect()]
+    assert got == [[], [], ["a b"], ["a b", "b c"]]
+    got3 = [r[0] for r in df.select(word_ngrams(F.col("toks"), 3)).collect()]
+    assert got3 == [[], [], [], ["a b c"]]
+
+
 def test_dsir_weights_tilt_toward_target_stratum(spark):
     """DSIR importance weights: documents from the target stratum (en)
     must score higher on average than off-target documents — the tilt
