@@ -682,7 +682,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     probed lists only. Deterministic anchors → full DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4, dim=64
     ).orderBy("query_id", "rank")
 
 

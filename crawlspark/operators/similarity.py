@@ -229,13 +229,16 @@ def train_ivf_kmeans_distributed(
     return cents
 
 
-_ASSIGN_SCHEMA = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("cell", T.IntegerType()),
-        T.StructField("cell_rank", T.IntegerType()),
-    ]
-)
+def _assign_schema(id_type: T.DataType) -> T.StructType:
+    """Output schema for ``ivf_assign``, threaded on the corpus id type
+    so string/int ids survive the Arrow boundary (ADVICE r4)."""
+    return T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cell_rank", T.IntegerType()),
+        ]
+    )
 
 
 def ivf_assign(df: DataFrame, anchors: np.ndarray, nprobe: int = 1,
@@ -243,7 +246,9 @@ def ivf_assign(df: DataFrame, anchors: np.ndarray, nprobe: int = 1,
     """(vec_id, cell, cell_rank): the ``nprobe`` highest-cosine cells per
     vector (anchors unit-norm ⇒ argmax of the raw dot), Arrow-batched
     GEMM; ties break toward the lower cell id (stable argsort — the
-    DuckDB twin orders by (dot desc, cell asc))."""
+    DuckDB twin orders by (dot desc, cell asc)). The output id column is
+    always named ``vec_id`` (internal convention) but carries the input
+    ``id_col``'s type — string/long/int ids all pass the Arrow boundary."""
     anchors = np.ascontiguousarray(anchors, dtype=np.float64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -259,7 +264,9 @@ def ivf_assign(df: DataFrame, anchors: np.ndarray, nprobe: int = 1,
             }
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(gen, _ASSIGN_SCHEMA)
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, _assign_schema(df.schema[id_col].dataType)
+    )
 
 
 def ann_ivf_topk(
@@ -271,6 +278,7 @@ def ann_ivf_topk(
     anchors: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-shaped ANN: corpus vectors live in ONE inverted list each
     (their nearest cell); a query probes its ``nprobe`` nearest cells and
@@ -280,10 +288,13 @@ def ann_ivf_topk(
     recall; the default deterministic anchors keep the DuckDB oracle
     exact."""
     if anchors is None:
-        # dim probe only when we must synthesize anchors (array<double>
-        # carries no length in the schema); callers passing trained
-        # anchors skip this extra job entirely (ADVICE r3)
-        anchors = ivf_anchors(len(corpus.select(vec_col).first()[0]), n_cells)
+        # array<double> carries no length in the schema: take the dim
+        # from the caller when given (zero extra jobs); fall back to a
+        # one-row probe only when neither anchors nor dim are supplied
+        # (VERDICT r4 #6)
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        anchors = ivf_anchors(dim, n_cells)
     ca = ivf_assign(corpus, anchors, nprobe=1, id_col=id_col, vec_col=vec_col)
     qa = ivf_assign(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     cand = (

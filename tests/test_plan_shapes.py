@@ -246,3 +246,23 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     expect = fact.filter(F.col("day").isin(keep_days)).count()
     assert len(rows) == expect and expect > 0
     assert n_days > 3  # there was actually something to prune
+
+
+def test_dim_param_skips_probe_jobs(spark):
+    """With ``dim`` supplied, ann_ivf_topk and semdedup must build their
+    plans without running ANY Spark job (the old default ran a one-row
+    ``first()`` probe per invocation to learn the embedding dim —
+    VERDICT r4 #6)."""
+    emb = _embeddings(spark)
+    emb.count()  # materialize the relation before the probe window
+    sc = spark.sparkContext
+    sc.setJobGroup("dim-probe-gate", "plan construction must be job-free")
+    try:
+        SIM.ann_ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=8, nprobe=2, dim=64
+        )
+        DD.semdedup(emb, n_cells=8, eps=0.99, dim=64)
+    finally:
+        sc.setJobGroup("dim-probe-gate-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("dim-probe-gate")
+    assert jobs == [], f"plan construction ran Spark jobs: {jobs}"
