@@ -258,6 +258,15 @@ class CrawlEngine:
         self._respect_crawl_delay = bool(config.extra.get("respect_crawl_delay"))
         self._delay_state: DataFrame | None = None
         self._n_delay_rules: int | None = None  # None = recount from rules
+        # driver-side delay bookkeeping (VERDICT r4 #4): in-window keys
+        # are a dict fed from the materialized sched batch's LOCAL column
+        # read — zero per-round Spark jobs where the distributed path
+        # cost a state rewrite + a blocked-keys join per round. Budgeted
+        # like _known_doms: past delay_keys_budget crawl-delay rules the
+        # engine falls back to the distributed state table.
+        self._delay_last: dict[str, tuple[str, int]] = {}  # dkey -> (dom, last_round)
+        self._delay_rounds_cache: tuple[dict | None] | None = None
+        self._delay_keys_budget = int(config.extra.get("delay_keys_budget", 2_000_000))
         # opt-in per-key error circuit breaker (default OFF — same
         # conformance reasoning as Crawl-delay): extra["error_backoff"]
         # = {"threshold": E, "rounds": B} benches a politeness key for B
@@ -443,18 +452,28 @@ class CrawlEngine:
         delta dir is removed best-effort, so no orphan parquet dirs
         accumulate in state/ (the exception still aborts the round)."""
         if not items:
-            return lambda: None
+            out = lambda: None
+            out.paths = []
+            return out
         alloc = [
             (delta.repartition(1) if single else delta, name, self._alloc_delta_path(name))
             for delta, name, single in items
         ]
         from concurrent.futures import ThreadPoolExecutor
 
+        sc = self.spark.sparkContext
+
+        def write(t):
+            # background pool: under FAIR scheduling the overlapped
+            # critical-path jobs (admission) share task slots with these
+            # writes instead of FIFO-queueing behind them (pinned-thread
+            # mode gives each Python thread its own JVM thread, so the
+            # local property scopes to this write only)
+            sc.setLocalProperty("spark.scheduler.pool", "crawlspark_bg")
+            t[0].write.mode("overwrite").parquet(t[2])
+
         ex = ThreadPoolExecutor(max_workers=len(alloc))
-        futs = [
-            ex.submit(lambda t=t: t[0].write.mode("overwrite").parquet(t[2]))
-            for t in alloc
-        ]
+        futs = [ex.submit(write, t) for t in alloc]
         ex.shutdown(wait=False)
 
         def join() -> None:
@@ -473,6 +492,7 @@ class CrawlEngine:
             for _, name, path in alloc:
                 self._state_parts.setdefault(name, []).append(path)
 
+        join.paths = [path for _, _, path in alloc]
         return join
 
     def _state_table(self, name: str, schema: T.StructType) -> DataFrame:
@@ -665,6 +685,24 @@ class CrawlEngine:
             ).count()
         return self._n_delay_rules
 
+    def _delay_map(self) -> dict[str, int] | None:
+        """registered_domain → delay_rounds as a driver dict, recomputed
+        lazily after any rules change (one tiny collect of the delayed
+        domains — O(#crawl_delay rules), the same budget class as the
+        known-domains cache). None when the rule count exceeds
+        ``delay_keys_budget`` → callers use the distributed state path."""
+        if self._delay_rounds_cache is None:
+            if self._delay_rules_count() > self._delay_keys_budget:
+                self._delay_rounds_cache = (None,)
+            else:
+                self._delay_rounds_cache = (
+                    {
+                        r["registered_domain"]: int(r["delay_rounds"])
+                        for r in self._delays_plan().collect()
+                    },
+                )
+        return self._delay_rounds_cache[0]
+
     def _delays_plan(self) -> DataFrame:
         """(registered_domain, delay_rounds) for domains whose robots ask
         for MORE than one politeness tick between fetches:
@@ -693,19 +731,34 @@ class CrawlEngine:
         O(#delayed + #tripped) rows; AQE decides the join strategy
         downstream (same guard philosophy as the K=1 heads)."""
         parts: list[DataFrame] = []
-        if (
-            self._respect_crawl_delay
-            and self._delay_state is not None
-            and self._delay_rules_count() != 0
-        ):
-            parts.append(
-                self._delay_state.join(self._delays_plan(), "registered_domain")
-                .filter(
-                    (F.lit(self.round_no) - F.col("last_round"))
-                    < F.col("delay_rounds")
+        if self._respect_crawl_delay and self._delay_rules_count() != 0:
+            dmap = self._delay_map()
+            if dmap is not None:
+                # driver dict: prune expired windows in place, the rest
+                # ARE the blocked keys — a tiny literal frame, no join
+                expired = [
+                    k
+                    for k, (d, lr) in self._delay_last.items()
+                    if self.round_no - lr >= dmap.get(d, 0)
+                ]
+                for k in expired:
+                    del self._delay_last[k]
+                if self._delay_last:
+                    parts.append(
+                        self.spark.createDataFrame(
+                            [(k,) for k in self._delay_last],
+                            f"{self._key_col} string",
+                        )
+                    )
+            elif self._delay_state is not None:
+                parts.append(
+                    self._delay_state.join(self._delays_plan(), "registered_domain")
+                    .filter(
+                        (F.lit(self.round_no) - F.col("last_round"))
+                        < F.col("delay_rounds")
+                    )
+                    .select(F.col("dkey").alias(self._key_col))
                 )
-                .select(F.col("dkey").alias(self._key_col))
-            )
         if self._backoff is not None and self._backoff_state is not None:
             parts.append(
                 self._backoff_state.filter(
@@ -754,10 +807,33 @@ class CrawlEngine:
 
     def _update_delay_state(self, sched: DataFrame) -> None:
         """Record last_round for the DELAYED keys scheduled this round
-        (keys without a crawl-delay never consult the state). One tiny
-        full-rewrite job per round, only when the feature is on and
-        crawl_delay rules exist."""
+        (keys without a crawl-delay never consult the state). Fast path
+        (delay rules within budget): a pure driver-dict update fed by a
+        LOCAL column read of the materialized sched parquet — ZERO Spark
+        jobs per round (VERDICT r4 #4; the old path rewrote a state
+        table every round). Over budget: the distributed rewrite."""
         if not self._respect_crawl_delay or self._delay_rules_count() == 0:
+            return
+        dmap = self._delay_map()
+        if dmap is not None:
+            keys = self._local_values(sched, self._key_col)
+            doms = (
+                keys
+                if self._key_col == "registered_domain"
+                else self._local_values(sched, "registered_domain")
+            )
+            if keys is None or doms is None:
+                # batch too large / unreadable locally → one tiny collect
+                pairs = [
+                    (r[0], r[1])
+                    for r in sched.select(self._key_col, "registered_domain")
+                    .distinct().collect()
+                ]
+            else:
+                pairs = zip(keys, doms)
+            for k, d in pairs:
+                if d in dmap:
+                    self._delay_last[k] = (d, self.round_no)
             return
         newly = (
             sched.select(
@@ -801,12 +877,21 @@ class CrawlEngine:
                 self.catalog.load(self.spark, snap, "rules") or self._empty(RULES_SCHEMA)
             )
             self._n_delay_rules = None
+            self._delay_rounds_cache = None
             if self._respect_crawl_delay:
                 ds = self.catalog.load(self.spark, snap, "crawl_delay_state")
                 if ds is not None:
-                    self._delay_state = self._mat_state(
-                        ds, "crawl_delay", single=True
-                    )
+                    if self._delay_map() is not None:
+                        # within budget: in-flight windows resume into the
+                        # driver dict (O(#delayed-keys) rows by contract)
+                        self._delay_last = {
+                            r["dkey"]: (r["registered_domain"], int(r["last_round"]))
+                            for r in ds.collect()
+                        }
+                    else:
+                        self._delay_state = self._mat_state(
+                            ds, "crawl_delay", single=True
+                        )
             if self._backoff is not None:
                 bs = self.catalog.load(self.spark, snap, "backoff_state")
                 if bs is not None:
@@ -859,6 +944,7 @@ class CrawlEngine:
         self._compact_pending(force=True)
         self.rules = rules
         self._n_delay_rules = None
+        self._delay_rounds_cache = None
         self.next_seq = next_seq
         self._init_known_doms()
         self._checkpoint_state()
@@ -973,6 +1059,7 @@ class CrawlEngine:
             self.rules = self.rules.unionByName(res.new_rules)
             self._rules_dirty = True
             self._n_delay_rules = None
+            self._delay_rounds_cache = None
             if self._known_doms is not None:
                 # keep the cache coherent when the relational path ran
                 # (huge batch); fast-path updates happened in-place
@@ -1018,9 +1105,16 @@ class CrawlEngine:
             "bad": list(self._state_parts.get("bad", [])),
             "fingerprints": list(self._state_parts.get("fingerprints", [])),
         }
-        if self._respect_crawl_delay and self._delay_state is not None:
+        if self._respect_crawl_delay and self._delay_last:
             # Crawl-delay pacing state rides the snapshot so a resumed
-            # crawl keeps honoring in-flight delay windows
+            # crawl keeps honoring in-flight delay windows (driver dict
+            # serialized to the same (dkey, registered_domain,
+            # last_round) schema the distributed path uses)
+            tables["crawl_delay_state"] = self.spark.createDataFrame(
+                [(k, d, lr) for k, (d, lr) in self._delay_last.items()],
+                "dkey string, registered_domain string, last_round int",
+            )
+        elif self._respect_crawl_delay and self._delay_state is not None:
             tables["crawl_delay_state"] = self._delay_state
         if self._backoff is not None and self._backoff_state is not None:
             # circuit-breaker benches survive resume the same way
@@ -1256,7 +1350,7 @@ class CrawlEngine:
         from pyspark.sql import Observation
 
         obs = Observation()
-        statused = statused.observe(
+        statused_obs = statused.observe(
             obs,
             F.count(F.lit(1)).alias("_total"),
             *[
@@ -1264,29 +1358,52 @@ class CrawlEngine:
                 for sv in STATUS_VALUES
             ],
         )
-        statused = self._append_state_delta(statused, "completed", single=False)
-        m = obs.get
-        by_status = {sv: int(m[sv]) for sv in STATUS_VALUES if m[sv]}
-        if sum(by_status.values()) != int(m["_total"]):  # unknown status value
-            by_status = {
-                r["status"]: r["cnt"]
-                for r in statused.groupBy("status").agg(F.count("*").alias("cnt")).collect()
-            }
-        _mark("statused")
 
-        if self._backoff is not None:
-            self._update_backoff_state(s, routed)
+        # Driver-side route counts from the materialized routed parquet
+        # (pyarrow footer+column read, NO Spark job). They gate the
+        # bad/fingerprints writes and the admission phase below, which
+        # lets the statused write itself join the async wave instead of
+        # blocking the round (VERDICT r4 #4): previously admission waited
+        # on the statused write only to learn by_status for its gates.
+        routes = self._local_values(routed, "route")
+        n_parse_routed = routes.count("parse") if routes is not None else None
 
         # state deltas ------------------------------------------------
-        # bad / fingerprints / popped read only already-materialized
-        # parquet (statused, routed, sched) and land in different tables,
-        # so their writes run concurrently (one driver round-trip, not 3)
-        round_deltas: list = []
-        n_bad = sum(
-            v for k, v in by_status.items()
-            if k in ("lowdata_similar_skip", "error_similar_skip", "low_data")
-        ) + by_status.get("error", 0)
-        if n_bad:
+        # completed / bad / fingerprints / popped read only already-
+        # materialized parquet (routed, sched) plus lazy broadcast-join
+        # plans (hits, nd), and land in four different tables, so ALL
+        # four writes run concurrently AND overlap the whole admission
+        # phase (one driver round-trip where there were three).
+        round_deltas: list = [
+            (statused_obs, "completed", False),
+            # frontier update: scheduled keys become tombstones (O(batch)
+            # append — never an O(frontier) rewrite); discoveries enter
+            # via _admit's pending delta
+            (sched.select("url_hash"), "popped", True),
+        ]
+        if n_parse_routed is None or n_parse_routed > 0:
+            # fingerprints are recorded for every parse row, neardup or
+            # not (worker.py:129-137) — the route count is the exact gate
+            round_deltas.append(
+                (
+                    routed.filter(F.col("route") == "parse").select(
+                        "url_hash", "simhash"
+                    ),
+                    "fingerprints",
+                    True,
+                )
+            )
+        # bad-memory gate, conservative but exact-when-zero: similar-skip
+        # statuses require prior bad memory (hits is the empty relation
+        # when _n_bad_total == 0), and low_data/error statuses are
+        # locally countable route values — so gate-off implies n_bad == 0
+        may_have_bad = (
+            routes is None
+            or self._n_bad_total > 0
+            or "low_data" in routes
+            or "error" in routes
+        )
+        if may_have_bad:
             err_hash = routed.filter(
                 (F.col("route") == "error") & (F.col("http_status") >= 400)
             ).select("url_hash")
@@ -1304,23 +1421,22 @@ class CrawlEngine:
                 )
             )
             round_deltas.append((new_bad, "bad", True))
-            self._n_bad_total += n_bad
-        n_fp = by_status.get("parsed", 0) + by_status.get("neardup", 0)
-        if n_fp:
-            round_deltas.append(
-                (
-                    routed.filter(F.col("route") == "parse").select(
-                        "url_hash", "simhash"
-                    ),
-                    "fingerprints",
-                    True,
-                )
-            )
+        join_deltas = self._append_state_deltas_async(round_deltas)
+        _mark("pending_update")
+
+        if self._backoff is not None:
+            self._update_backoff_state(s, routed)
 
         # discovery ----------------------------------------------------
-        parsed_final = statused.filter(F.col("status") == "parsed").select(
-            "url", "url_hash", "depth", "discovery_seq"
-        ).join(routed.select("url_hash", "out_links"), "url_hash")
+        # the statused 'parsed' set, derived without the statused join
+        # chain: routed contains exactly the fetchable rows (depth/trap/
+        # similar-hit rows were anti-joined out before the fetch), so
+        # status == 'parsed' ⟺ route == 'parse' ∧ not near-duplicate
+        parsed_final = (
+            routed.filter(F.col("route") == "parse")
+            .join(nd, "url_hash", "left_anti")
+            .select("url", "url_hash", "depth", "discovery_seq", "out_links")
+        )
         links = parsed_final.select(
             F.posexplode("out_links").alias("link_pos", "href"),
             F.col("url").alias("base"),
@@ -1346,23 +1462,32 @@ class CrawlEngine:
         )
         candidates = redirects.unionByName(links)
 
-        # frontier update: scheduled keys become tombstones (O(batch)
-        # append — never an O(frontier) rewrite), discoveries enter via
-        # _admit's pending delta
-        round_deltas.append((sched.select("url_hash"), "popped", True))
-        # popped/bad/fingerprints land in tables admission never touches
-        # mid-round (it reads pending-base + completed for seen-ness and
-        # writes pending/completed deltas), so these writes overlap the
-        # whole admission phase; joined before checkpoint/compaction.
-        join_deltas = self._append_state_deltas_async(round_deltas)
-        _mark("pending_update")
-        n_new = (
-            self._admit(candidates)
-            if by_status.get("parsed", 0) + by_status.get("redirect", 0) > 0
-            else 0
+        # admission overlaps the four state writes above: it reads only
+        # pending-base + round-start completed parts for seen-ness (the
+        # scheduled batch's keys are still in pending-base — tombstones
+        # fold in at compaction, which runs after the writes join), and
+        # its own deltas get distinct lock-allocated paths. The gate is
+        # route-count conservative: a round whose parse rows ALL end
+        # neardup runs one empty admission pass (a no-op for state).
+        admit_gate = (
+            routes is None or n_parse_routed > 0 or "redirect" in routes
         )
+        n_new = self._admit(candidates) if admit_gate else 0
         _mark("admit")
         join_deltas()
+        m = obs.get
+        by_status = {sv: int(m[sv]) for sv in STATUS_VALUES if m[sv]}
+        if sum(by_status.values()) != int(m["_total"]):  # unknown status value
+            by_status = {
+                r["status"]: r["cnt"]
+                for r in self.spark.read.parquet(join_deltas.paths[0])
+                .groupBy("status").agg(F.count("*").alias("cnt")).collect()
+            }
+        n_bad = sum(
+            v for k, v in by_status.items()
+            if k in ("lowdata_similar_skip", "error_similar_skip", "low_data")
+        ) + by_status.get("error", 0)
+        self._n_bad_total += n_bad
         _mark("deltas_join")
         self._checkpoint_state()
         _mark("ckpt_state")

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # FAIR across pools: the engine files its background state-delta
+        # writes under a separate pool so the round's critical-path jobs
+        # (admission) interleave with them instead of queueing behind a
+        # FIFO backlog of write tasks (the overlap is otherwise nominal)
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,8 +36,10 @@ def delay_corpus(tmp_path_factory):
     return str(d)
 
 
-def _cfg(respect: bool) -> CrawlConfig:
-    extra = {"respect_crawl_delay": True} if respect else {}
+def _cfg(respect: bool, budget: int | None = None) -> CrawlConfig:
+    extra: dict = {"respect_crawl_delay": True} if respect else {}
+    if budget is not None:
+        extra["delay_keys_budget"] = budget
     return CrawlConfig(allowed_url_patterns=C.ALLOWED_PATTERNS, extra=extra)
 
 
@@ -86,8 +88,14 @@ def test_parse_crawl_delay_rows():
     assert ("disallow", "/x/") in kinds
 
 
-def test_engine_matches_oracle_with_crawl_delay(spark, delay_corpus, tmp_path_factory):
-    cfg = _cfg(respect=True)
+@pytest.mark.parametrize("budget", [None, 0])
+def test_engine_matches_oracle_with_crawl_delay(
+    spark, delay_corpus, tmp_path_factory, budget
+):
+    """budget=None exercises the driver-dict fast path (zero per-round
+    delay jobs); budget=0 forces the distributed state-table fallback —
+    both must match the oracle identically."""
+    cfg = _cfg(respect=True, budget=budget)
     eng = _run_engine(spark, delay_corpus, cfg, tmp_path_factory)
     ora = OracleCrawl(delay_corpus, cfg)
     ora.run()
