@@ -297,6 +297,33 @@ class CrawlEngine:
         self._priority_col: str | None = config.extra.get("priority_col")
         if self._priority_col:
             self._heads_sched = False
+        # per-key HEADS table scheduling (VERDICT r4 #3 — the many-keys
+        # regime): extra["heads_mode"]="table" maintains a compact table
+        # of each politeness key's B = quota × heads_refresh_rounds
+        # lowest-seq pending rows, so a politeness tick reads
+        # O(#keys × B) rows REGARDLESS of frontier depth or file layout.
+        # The footer-stats scan path above prunes only while
+        # #keys ≲ #files; at the north_rule target (10^10 URLs over 10^7
+        # domains) #keys ≫ #files and its scan floor degrades back to
+        # O(frontier) — the HEADS table is the shape that survives there.
+        # Maintenance: admissions since the last build ride the scan as
+        # delta parts; pops are anti-joined; a full rebuild (one
+        # frontier pass, amortized 1/refresh per round) runs only when
+        # accumulated tombstone parts could invalidate a key's whole
+        # budget, or after compaction/snapshot rewrites the base.
+        self._heads_mode = str(config.extra.get("heads_mode", "scan"))
+        if self._priority_col:
+            # heads are maintained in FIFO seq order; a priority column
+            # re-ranks within keys, so table mode must full-scan
+            self._heads_mode = "scan"
+        if self._heads_mode == "table":
+            self._heads_sched = False  # stats-scan machinery unused
+        self._heads_refresh_rounds = max(
+            2, int(config.extra.get("heads_refresh_rounds", 8))
+        )
+        self._heads_df: DataFrame | None = None
+        self._heads_popped_idx = 0
+        self._heads_pending_idx = 0
         self._sorted_base: str | None = None  # path of the sorted base part
         self._fstats_cache: dict[str, list[dict]] = {}
         # target rows per data file in the compacted layout — file count
@@ -572,6 +599,9 @@ class CrawlEngine:
         self._state_parts["pending"] = [self._state_parts["pending"][-1]]
         self._state_parts["popped"] = []
         self._sorted_base = self._state_parts["pending"][0]
+        # the parts list was rewritten — the HEADS table's delta/tombstone
+        # indexes are stale; force a rebuild on the next schedule tick
+        self._heads_df = None
         # superseded bases never get scheduled again — REPLACE the stats
         # cache instead of accumulating one entry per compaction forever
         self._fstats_cache = {}
@@ -617,7 +647,7 @@ class CrawlEngine:
             try:
                 snap = self.catalog.latest()
                 if snap is not None and self.catalog.paths(snap, "pending") == [path]:
-                    fs = (snap.tables.get("pending") or {}).get("files")
+                    fs = self.catalog.files(snap, "pending")
                     if fs:
                         entries = [
                             {**f, "file": os.path.join(self.catalog.root, f["file"])}
@@ -633,6 +663,67 @@ class CrawlEngine:
             self._fstats_cache[path] = entries
         return self._fstats_cache[path]
 
+    def _heads_budget(self) -> int:
+        return self.config.per_domain_quota * self._heads_refresh_rounds
+
+    def _rebuild_heads(self) -> None:
+        """(Re)build the HEADS table: each politeness key's B lowest-seq
+        SURVIVING pending rows (one full-frontier top-B pass — the salted
+        two-phase window schedule_round uses for K>1, so hot keys never
+        funnel one partition). Runs at most once per refresh window and
+        after any pending-base rewrite, so its O(frontier) cost is
+        amortized 1/refresh per tick while every tick's scan is
+        O(#keys × B)."""
+        self._heads_df = self._mat_state(
+            schedule_round(self.pending, self._heads_budget(), self._key_col),
+            "heads",
+            single=False,
+        )
+        self._heads_popped_idx = len(self._state_parts.get("popped", []))
+        self._heads_pending_idx = len(self._state_parts.get("pending", []))
+
+    def _heads_for_schedule(self) -> tuple[DataFrame, dict]:
+        """Table-mode schedule source: HEADS ∪ admission-deltas-since-
+        build, minus tombstones-since-build. Correctness: pops remove at
+        most quota rows per key per popped part, so while
+        (parts_since + 1) × quota ≤ B every key's surviving top-quota is
+        within its B build-time heads (∪ the deltas) — past that bound
+        the table is rebuilt first. A key with fewer than B rows at
+        build time had ALL of them in HEADS, so drained keys terminate
+        identically to the full scan."""
+        popped = self._state_parts.get("popped", [])
+        p_since = len(popped) - self._heads_popped_idx
+        if (
+            self._heads_df is None
+            or (p_since + 1) * self.config.per_domain_quota > self._heads_budget()
+        ):
+            self._rebuild_heads()
+            popped = self._state_parts.get("popped", [])
+        frame = self._heads_df
+        deltas = self._state_parts.get("pending", [])[self._heads_pending_idx:]
+        if deltas:
+            frame = frame.unionByName(
+                self.spark.read.parquet(*deltas).select(*frame.columns)
+            )
+        tombs = popped[self._heads_popped_idx:]
+        if tombs:
+            t = self.spark.read.parquet(*tombs).select("url_hash")
+            frame = frame.join(t, "url_hash", "left_anti")
+        heads_rows = _pq_rows(getattr(self._heads_df, "_crawlspark_path", "")) or 0
+        delta_rows = sum(_pq_rows(p) or 0 for p in deltas)
+        scanned = heads_rows + delta_rows
+        total = max(self._pending_rows_estimate(), scanned)
+        telemetry = {
+            "mode": "table",
+            # parts, not data files, in table mode: the base parts are
+            # never opened at all — every one counts as pruned
+            "files_scanned": 1 + len(deltas),
+            "files_pruned": self._heads_pending_idx,
+            "base_rows_scanned": scanned,
+            "base_rows_total": total,
+        }
+        return frame, telemetry
+
     def _pending_for_schedule(self) -> tuple[DataFrame, dict | None]:
         """The frame schedule_round scans this round. When the pending
         base is the sorted compacted layout, prune it to per-key head
@@ -640,7 +731,13 @@ class CrawlEngine:
         since compaction can invalidate at most K rows per key per popped
         part, so a budget of K·(popped_parts+1) rows per key keeps every
         key's surviving top-K readable. Falls back to the full frontier
-        whenever the invariants don't hold. Returns (frame, telemetry)."""
+        whenever the invariants don't hold. Returns (frame, telemetry).
+
+        ``heads_mode="table"`` routes to the per-key HEADS table instead
+        (O(#keys × B) per tick independent of frontier depth AND file
+        count — the many-keys regime where footer pruning disengages)."""
+        if self._heads_mode == "table":
+            return self._heads_for_schedule()
         parts = self._state_parts.get("pending", [])
         if (
             not self._heads_sched
@@ -1146,6 +1243,8 @@ class CrawlEngine:
         self._state_parts["popped"] = []
         pp = self._state_parts["pending"]
         self._sorted_base = pp[0] if len(pp) == 1 else None
+        # parts list rewritten → stale HEADS-table indexes; rebuild lazily
+        self._heads_df = None
         # drop stats of superseded bases (the new base's entries load
         # lazily from the snapshot manifest on first use)
         self._fstats_cache = {

@@ -49,6 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 # scheduler reads (per-domain frontier heads; host for netloc politeness)
 STATS_COLS = ("discovery_seq", "registered_domain", "host", "url_hash", "depth")
 
+# two-level manifests (Iceberg's manifest-list → manifest structure):
+# a table whose commit references more than GROUP_SIZE data files gets
+# its file entries sharded into group manifest JSONs of GROUP_SIZE each;
+# the snapshot manifest then stores only O(#groups) group refs (path,
+# count, rows, content hash), so loading a snapshot parses O(groups),
+# not O(files), and unchanged groups are REUSED verbatim across commits
+# (append commits rewrite nothing but the tail group). Small tables keep
+# inline entries — byte-identical manifests to the single-level layout.
+GROUP_SIZE = 1000
+
 
 def scan_parquet_stats(
     path: str, cols: tuple[str, ...] | None = None
@@ -153,8 +163,71 @@ def check_schema_evolution(old: dict, new: dict) -> None:
 class IceliteCatalog:
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests", "groups"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # group-manifest entry cache: group files are immutable (content-
+        # hash named refs), so parsed entries are shared across snapshots
+        self._group_cache: dict[str, list[dict[str, Any]]] = {}
+
+    # -- two-level manifest helpers -------------------------------------
+    def files(self, snapshot: Snapshot, name: str) -> list[dict[str, Any]]:
+        """Per-data-file entries of a table — inline for small tables,
+        lazily loaded + cached from group manifests for large ones. This
+        is the ONLY sanctioned reader of file entries: callers must not
+        assume ``tables[name]['files']`` exists (Iceberg readers plan
+        from the manifest list and open manifests on demand)."""
+        info = snapshot.tables.get(name) or {}
+        if "files" in info:
+            return info["files"]
+        out: list[dict[str, Any]] = []
+        for ref in info.get("file_groups", []):
+            gp = ref["manifest"]
+            if gp not in self._group_cache:
+                with open(os.path.join(self.root, gp)) as f:
+                    self._group_cache[gp] = json.load(f)["files"]
+            out.extend(self._group_cache[gp])
+        return out
+
+    def _pack_files(
+        self, name: str, sid: int, files: list[dict[str, Any]],
+        parent: "Snapshot | None",
+    ) -> dict[str, Any]:
+        """files → manifest fragment: inline when small; sharded into
+        GROUP_SIZE group manifests when large, reusing any parent group
+        whose serialized content is identical (append commits re-write
+        only the tail group — O(new files), not O(table))."""
+        if len(files) <= GROUP_SIZE:
+            return {"files": files}
+        import hashlib
+
+        prev = {}
+        if parent is not None:
+            for ref in (parent.tables.get(name) or {}).get("file_groups", []):
+                prev[ref.get("hash")] = ref
+        refs = []
+        for k in range(0, len(files), GROUP_SIZE):
+            chunk = files[k : k + GROUP_SIZE]
+            body = json.dumps({"files": chunk}, sort_keys=True)
+            h = hashlib.md5(body.encode()).hexdigest()
+            if h in prev and prev[h]["n_files"] == len(chunk):
+                refs.append(prev[h])  # unchanged group: reuse, no write
+                continue
+            rel = os.path.join("manifests", "groups", f"g-{name}-{h}.json")
+            gp = os.path.join(self.root, rel)
+            if not os.path.exists(gp):
+                tmp = gp + f".tmp{sid}"
+                with open(tmp, "w") as f:
+                    f.write(body)
+                os.replace(tmp, gp)
+            refs.append(
+                {
+                    "manifest": rel,
+                    "n_files": len(chunk),
+                    "rows": sum(c["rows"] or 0 for c in chunk),
+                    "hash": h,
+                }
+            )
+        return {"file_groups": refs}
 
     # -- read side ----------------------------------------------------
     def latest(self) -> Snapshot | None:
@@ -205,8 +278,12 @@ class IceliteCatalog:
         new_info = to_snapshot.tables.get(name)
         if new_info is None:
             return None
-        old_files = {f["file"] for f in (old_info or {}).get("files", [])}
-        new_files = [f["file"] for f in new_info.get("files", [])]
+        old_files = (
+            {f["file"] for f in self.files(from_snapshot, name)}
+            if old_info is not None
+            else set()
+        )
+        new_files = [f["file"] for f in self.files(to_snapshot, name)]
         if not new_files:
             # no per-file manifest entries — fall back to whole-dir diff
             old_paths = set(self.paths(from_snapshot, name))
@@ -259,11 +336,12 @@ class IceliteCatalog:
 
             reader = reader.schema(StructType.fromJson(info["schema"]))
         deletes = info.get("deletes") or []
-        if not deletes or not info.get("files"):
+        entries = self.files(snapshot, name) if deletes else []
+        if not deletes or not entries:
             return reader.parquet(*paths)
-        return self._apply_deletes(spark, reader, info, deletes)
+        return self._apply_deletes(spark, reader, entries, deletes)
 
-    def _apply_deletes(self, spark, reader, info, deletes) -> DataFrame:
+    def _apply_deletes(self, spark, reader, entries, deletes) -> DataFrame:
         """Merge-on-read with Iceberg's sequence-number rule: a delete
         filters only data files whose commit seq PRECEDES the delete's.
         Deletes are manifest-ordered by seq, so the deletes applicable
@@ -276,7 +354,7 @@ class IceliteCatalog:
 
         dseqs = [d["seq"] for d in deletes]
         groups: dict[int, list[str]] = {}
-        for f in info["files"]:
+        for f in entries:
             fseq = f.get("seq", -1)
             start = next((i for i, s in enumerate(dseqs) if s > fseq), len(dseqs))
             groups.setdefault(start, []).append(
@@ -301,10 +379,11 @@ class IceliteCatalog:
         falls back to the full paths(). This is the read-side contract
         the bounds exist for (Iceberg's scan planning)."""
         info = snapshot.tables.get(name)
-        if info is None or not info.get("files"):
+        entries = self.files(snapshot, name) if info is not None else []
+        if not entries:
             return None
         keep = []
-        for f in info["files"]:
+        for f in entries:
             b = (f.get("bounds") or {}).get(col)
             if b is None or not (hi < b[0] or lo > b[1]):
                 keep.append(os.path.join(self.root, f["file"]))
@@ -388,14 +467,24 @@ class IceliteCatalog:
         def _lineage(name: str, files: list[dict[str, Any]]) -> dict[str, Any]:
             """File-level diff vs the parent snapshot (Iceberg's
             added/existing split): resume auditing reads this to see
-            exactly which partitions each commit contributed."""
+            exactly which partitions each commit contributed. Past
+            GROUP_SIZE changed paths the explicit lists are dropped for
+            counts (the per-file added flag is still derivable: a file's
+            ``seq`` equals the snapshot id it was added in)."""
             prev = set()
             if parent is not None and name in parent.tables:
-                prev = {f["file"] for f in parent.tables[name].get("files", [])}
+                prev = {f["file"] for f in self.files(parent, name)}
             cur = {f["file"] for f in files}
+            added, removed = cur - prev, prev - cur
+            if len(added) + len(removed) > GROUP_SIZE:
+                return {
+                    "added_n": len(added),
+                    "removed_n": len(removed),
+                    "existing": len(cur & prev),
+                }
             return {
-                "added": sorted(cur - prev),
-                "removed": sorted(prev - cur),
+                "added": sorted(added),
+                "removed": sorted(removed),
                 "existing": len(cur & prev),
             }
 
@@ -418,7 +507,7 @@ class IceliteCatalog:
             if parent is not None and name in parent.tables:
                 prev = {
                     f["file"]: f.get("seq", -1)
-                    for f in parent.tables[name].get("files", [])
+                    for f in self.files(parent, name)
                 }
             for f in files:
                 f["seq"] = prev.get(f["file"], sid)
@@ -426,12 +515,34 @@ class IceliteCatalog:
         for name, df in dfs.items():
             if isinstance(df, list):
                 rels = [os.path.relpath(p, self.root) for p in df]
-                files = [f for p in df for f in _scan(p, name)]
+                # footer-scan reuse: parquet parts are immutable, so dirs
+                # the parent snapshot already scanned keep their recorded
+                # entries (incl. inherited seq / annotations) — an append
+                # commit's footer I/O is O(new dirs), not O(table)
+                prev_by_dir: dict[str, list[dict[str, Any]]] = {}
+                if parent is not None and name in parent.tables:
+                    prev_rels = set(parent.tables[name].get("paths", []))
+                    for e in self.files(parent, name):
+                        d = os.path.dirname(e["file"])
+                        while d and d not in prev_rels:
+                            nd = os.path.dirname(d)
+                            if nd == d:
+                                break
+                            d = nd
+                        if d in prev_rels:
+                            prev_by_dir.setdefault(d, []).append(e)
+                files = []
+                for p, rel in zip(df, rels):
+                    cached = prev_by_dir.get(rel)
+                    files.extend(
+                        cached if cached is not None else _scan(p, name)
+                    )
                 _assign_seq(name, files)
                 rows, unknown = _rows_total(files)
                 tables[name] = {
-                    "paths": rels, "rows": rows, "files": files,
+                    "paths": rels, "rows": rows,
                     "lineage": _lineage(name, files),
+                    **self._pack_files(name, sid, files, parent),
                 }
                 # a by-reference APPEND keeps the parent's equality
                 # deletes in force (nothing was rewritten); fresh files
@@ -464,8 +575,9 @@ class IceliteCatalog:
                 # materialized current state (deletes applied on load),
                 # so parent deletes are compacted away — none inherited
             tables[name] = {
-                "path": rel, "rows": rows, "files": files,
+                "path": rel, "rows": rows,
                 "lineage": _lineage(name, files),
+                **self._pack_files(name, sid, files, parent),
             }
             if table_schemas.get(name) is not None:
                 tables[name]["schema"] = table_schemas[name]
@@ -530,7 +642,8 @@ class IceliteCatalog:
         entry["lineage"] = {
             "added": [],
             "removed": [],
-            "existing": len(entry.get("files", [])),
+            "existing": len(entry.get("files", []))
+            or sum(r.get("n_files", 0) for r in entry.get("file_groups", [])),
         }
         snap = Snapshot(sid, parent.snapshot_id, tables, meta or {})
         self._write_snapshot(snap)
@@ -565,8 +678,9 @@ class IceliteCatalog:
         snap = snapshot or self.latest()
         rows = []
         for tname, info in (snap.tables if snap else {}).items():
-            added = set((info.get("lineage") or {}).get("added", []))
-            for f in info.get("files", []):
+            lin = info.get("lineage") or {}
+            added = set(lin.get("added", [])) if "added" in lin else None
+            for f in self.files(snap, tname):
                 rows.append(
                     (
                         snap.snapshot_id,
@@ -575,7 +689,11 @@ class IceliteCatalog:
                         f["file"],
                         f.get("rows"),
                         f.get("bytes"),
-                        f["file"] in added,
+                        # count-only lineage (grouped tables): added ⟺
+                        # the file's seq is this commit's
+                        f["file"] in added
+                        if added is not None
+                        else f.get("seq") == snap.snapshot_id,
                     )
                 )
         schema = (
@@ -615,6 +733,7 @@ class IceliteCatalog:
         expired = [m for m in manifests if m not in keep]
 
         protected: set[str] = set()
+        live_groups: set[str] = set()
         for m in keep:
             try:
                 with open(os.path.join(mdir, m)) as f:
@@ -631,9 +750,25 @@ class IceliteCatalog:
                 rels = rels + [dl["path"] for dl in info.get("deletes") or []]
                 for r in rels:
                     protected.add(os.path.normpath(os.path.join(self.root, r)))
+                for ref in info.get("file_groups", []):
+                    live_groups.add(os.path.basename(ref["manifest"]))
 
         for m in expired:
             os.remove(os.path.join(mdir, m))
+
+        # sweep group manifests no surviving snapshot references (they
+        # are content-hash-shared across snapshots, so this is exactly
+        # Iceberg's manifest-file GC)
+        removed_groups = 0
+        gdir = os.path.join(mdir, "groups")
+        if os.path.isdir(gdir):
+            for g in os.listdir(gdir):
+                if g.endswith(".json") and g not in live_groups:
+                    os.remove(os.path.join(gdir, g))
+                    self._group_cache.pop(
+                        os.path.join("manifests", "groups", g), None
+                    )
+                    removed_groups += 1
 
         removed_dirs = 0
         ddir = os.path.join(self.root, "data")
@@ -651,5 +786,6 @@ class IceliteCatalog:
         return {
             "expired_manifests": len(expired),
             "removed_data_dirs": removed_dirs,
+            "removed_group_manifests": removed_groups,
             "kept_manifests": sorted(keep & set(manifests)),
         }

@@ -29,7 +29,8 @@ from crawlspark.session import get_spark
 
 
 def run(spark, n_pages: int, n_domains: int, rounds: int, heads: bool,
-        key: str = "registered_domain", quota: int = 1) -> dict:
+        key: str = "registered_domain", quota: int = 1,
+        mode: str = "scan") -> dict:
     pages = BC.build_pages(spark, min(n_pages, 200_000), n_domains).persist()
     pages.count()
     frontier = BC.build_frontier(spark, n_pages, n_domains)
@@ -39,6 +40,7 @@ def run(spark, n_pages: int, n_domains: int, rounds: int, heads: bool,
         per_domain_quota=quota,
         extra={
             "heads_scheduling": heads,
+            "heads_mode": mode,
             "politeness_key": key,
             # 100k-row files: the heads scan reads ~#domains files while
             # the file COUNT (not size) grows with the frontier
@@ -70,6 +72,7 @@ def run(spark, n_pages: int, n_domains: int, rounds: int, heads: bool,
     return {
         "n_pages": n_pages,
         "heads": heads,
+        "mode": mode,
         "sched_secs": [round(s, 2) for s in sched_secs],
         "sched_sec_median": round(sorted(sched_secs)[len(sched_secs) // 2], 2),
         "scans": scans,
@@ -90,13 +93,20 @@ def main() -> None:
         "n_domains": n_domains, "rounds": rounds,
         "politeness_key": key, "quota": quota,
     }
+    mode = os.environ.get("HEADS_BENCH_MODE", "scan")
+    out["mode"] = mode
     for label, n, heads in [
         ("small_heads", small, True),
         ("big_heads", big, True),
         ("small_fullscan", small, False),
         ("big_fullscan", big, False),
     ]:
-        out[label] = run(spark, n, n_domains, rounds, heads, key=key, quota=quota)
+        # "heads" legs take the benched mode: footer-stat pruning
+        # (mode=scan) or the per-key HEADS table (mode=table)
+        out[label] = run(
+            spark, n, n_domains, rounds, heads, key=key, quota=quota,
+            mode=(mode if heads else "scan"),
+        )
         print(f"# {label}: median sched {out[label]['sched_sec_median']}s", flush=True)
     out["sched_growth_10x_frontier_heads"] = round(
         out["big_heads"]["sched_sec_median"]

@@ -91,7 +91,9 @@ def test_select_head_files_tail_stats_and_interleaved_seqs():
 
 
 def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6,
-               politeness_key: str | None = None):
+               politeness_key: str | None = None,
+               heads_mode: str | None = None,
+               heads_refresh_rounds: int | None = None):
     n_pages, n_domains = 4000, 6
     pages = BC.build_pages(spark, n_pages, n_domains)
     frontier = BC.build_frontier(spark, n_pages, n_domains)
@@ -99,6 +101,10 @@ def _run_crawl(spark, heads: bool, quota: int, rounds: int = 6,
     extra = {"heads_scheduling": heads, "pending_file_rows": 200}
     if politeness_key:
         extra["politeness_key"] = politeness_key
+    if heads_mode:
+        extra["heads_mode"] = heads_mode
+    if heads_refresh_rounds:
+        extra["heads_refresh_rounds"] = heads_refresh_rounds
     cfg = CrawlConfig(
         allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
         per_domain_quota=quota,
@@ -205,3 +211,80 @@ def test_heads_schedule_survives_resume(spark):
     eng2.run_round()
     scan = eng2.stats.rounds[-1].sched_scan
     assert scan is not None and scan["files_pruned"] > 0
+
+
+@pytest.mark.parametrize(
+    "quota,key,refresh",
+    [(1, None, 3), (2, None, 2), (8, "netloc", 3)],
+)
+def test_heads_table_equals_full_scan(spark, quota, key, refresh):
+    """heads_mode='table' (VERDICT r4 #3 — the many-keys regime): the
+    per-key HEADS table + admission deltas − tombstones must schedule
+    byte-identically to the full scan, across mid-crawl rebuilds (tiny
+    refresh windows force several), snapshot commits (interval 3 rewrites
+    the parts list → invalidation) and accumulating tombstones."""
+    eng_on, rows_on = _run_crawl(
+        spark, heads=False, quota=quota, politeness_key=key,
+        heads_mode="table", heads_refresh_rounds=refresh,
+    )
+    _, rows_off = _run_crawl(spark, heads=False, quota=quota, politeness_key=key)
+    assert rows_on == rows_off
+    scans = [r.sched_scan for r in eng_on.stats.rounds if r.sched_scan]
+    assert scans and all(s.get("mode") == "table" for s in scans)
+    # once the frontier is deeper than #keys × B, the tick must NOT have
+    # scanned the whole frontier
+    assert any(
+        s["base_rows_scanned"] < s["base_rows_total"] for s in scans
+    ), scans
+
+
+def test_heads_table_survives_resume(spark):
+    """Crash + resume under heads_mode='table': the table is scratch-only
+    (never snapshot-carried) and must rebuild lazily on the first resumed
+    tick, completing the crawl identically to an unbroken run."""
+    n_pages, n_domains = 3000, 5
+    pages = BC.build_pages(spark, n_pages, n_domains)
+    frontier = BC.build_frontier(spark, n_pages, n_domains)
+    robots = BC.build_robots(spark, n_domains)
+    rules = parse_robots(robots)
+    cfg = CrawlConfig(
+        allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
+        extra={"pending_file_rows": 200, "heads_mode": "table",
+               "heads_refresh_rounds": 3},
+    )
+
+    def eng_for(state):
+        return CrawlEngine(
+            spark, cfg, None, state, checkpoint_interval=2, pages=pages,
+            robots_bodies=robots,
+            sitemap_xml=spark.createDataFrame(
+                [], "registered_domain string, xml string"
+            ),
+        )
+
+    sa = tempfile.mkdtemp(prefix="headstab_a_")
+    a = eng_for(sa)
+    a.start_from_frontier(frontier, rules, next_seq=n_pages)
+    for _ in range(8):
+        a.run_round()
+
+    sb = tempfile.mkdtemp(prefix="headstab_b_")
+    b1 = eng_for(sb)
+    b1.start_from_frontier(frontier, rules, next_seq=n_pages)
+    for _ in range(4):
+        b1.run_round()
+    b1._commit_snapshot()
+    del b1  # crash mid-crawl
+
+    b2 = eng_for(sb)
+    b2.start(resume=True)
+    assert b2._heads_df is None  # rebuilds lazily on the first tick
+    for _ in range(4):
+        b2.run_round()
+
+    cols = ["url", "status", "completed_round", "discovery_seq"]
+    ra = {r["url"]: (r["status"], r["completed_round"], r["discovery_seq"])
+          for r in a.all_rows().select(*cols).collect()}
+    rb = {r["url"]: (r["status"], r["completed_round"], r["discovery_seq"])
+          for r in b2.all_rows().select(*cols).collect()}
+    assert ra == rb

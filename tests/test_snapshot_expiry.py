@@ -43,7 +43,10 @@ def test_catalog_expiry_keeps_latest_and_sweeps_orphans(spark, tmp_path):
     assert res["removed_data_dirs"] == 3  # two expired + the orphan
 
     mdir = os.path.join(cat.root, "manifests")
-    assert sorted(os.listdir(mdir)) == ["snapshot-000002.json"]
+    # "groups" is the two-level manifest dir, always present (and empty
+    # here — small tables stay inline)
+    assert sorted(os.listdir(mdir)) == ["groups", "snapshot-000002.json"]
+    assert os.listdir(os.path.join(mdir, "groups")) == []
     assert _snap_data_dirs(cat.root) == {os.path.join("snap-000002", "t")}
 
     snap = cat.latest()
@@ -104,7 +107,8 @@ def test_engine_rollback_then_rerun_reconverges(spark, tmp_path):
     import os as _os
 
     mdir = _os.path.join(root, "manifests")
-    first_sid = int(sorted(_os.listdir(mdir))[0].split("-")[1].split(".")[0])
+    snaps = sorted(f for f in _os.listdir(mdir) if f.startswith("snapshot-"))
+    first_sid = int(snaps[0].split("-")[1].split(".")[0])
     b2.catalog.rollback(first_sid)
     b2.start(resume=True)
     assert b2.round_no <= a.round_no
@@ -138,7 +142,7 @@ def test_resume_after_expiry_equals_uninterrupted(spark, tmp_path):
     mdir = os.path.join(root, "manifests")
     # expiry ran at each commit: exactly one manifest survives, and every
     # surviving pending data dir belongs to it
-    assert len(os.listdir(mdir)) == 1
+    assert len([f for f in os.listdir(mdir) if f.startswith("snapshot-")]) == 1
     kept = {p.split(os.sep)[0] for p in _snap_data_dirs(root)}
     cur_sid = b1.catalog.latest().snapshot_id
     assert kept == {f"snap-{cur_sid:06d}"}
