@@ -79,15 +79,21 @@ class CorpusSpec:
     # to those domains' robots bodies (default empty — corpora without it
     # are byte-identical to before the option existed)
     crawl_delays: tuple[tuple[int, int], ...] = ()
+    # domain k gets suffix suffixes[k % len(suffixes)] — the default keeps
+    # every existing corpus byte-identical; PSL fixtures pass e.g.
+    # ("co.uk", "com.au") so registered_domain must walk multi-label
+    # public suffixes for politeness to bucket correctly
+    suffixes: tuple[str, ...] = ("example",)
 
 
-def _domain(k: int) -> str:
-    return f"d{k:02d}.example"
+def _domain(k: int, suffixes: tuple[str, ...] = ("example",)) -> str:
+    return f"d{k:02d}.{suffixes[k % len(suffixes)]}"
 
 
-def _host(rng: np.random.Generator, k: int) -> str:
+def _host(rng: np.random.Generator, k: int, suffixes=("example",)) -> str:
     r = rng.integers(0, 4)
-    return _domain(k) if r == 0 else f"s{int(r)}.{_domain(k)}"
+    dom = _domain(k, suffixes)
+    return dom if r == 0 else f"s{int(r)}.{dom}"
 
 
 def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
@@ -101,7 +107,7 @@ def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
 
     hosts, canon_urls, disp_urls = [], [], []
     for i in range(n):
-        h = _host(rng, int(dom_of[i]))
+        h = _host(rng, int(dom_of[i]), spec.suffixes)
         hosts.append(h)
         if i % 41 == 7:
             path = f"/private/wiki/p{i:06d}"       # robots-Disallowed
@@ -224,7 +230,7 @@ def generate(spec: CorpusSpec) -> dict[str, pa.Table]:
     rob_rows = []
     sitemap_rows = []
     for k in range(d):
-        dom = _domain(k)
+        dom = _domain(k, spec.suffixes)
         if k % 7 == 5:
             body = "# no directives here\n"
         else:

@@ -25,13 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Multi-label public suffixes we recognize without a PSL database (offline
-# sandbox — documented simplification; swap in a real PSL table in prod).
-_TWO_LABEL_SUFFIXES = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.mx",
-    "co.in", "co.kr", "com.sg", "com.tr", "edu.au",
-)
+# registered_domain evaluates a frozen public-suffix snapshot (ICANN-
+# section subset, functions/psl.py) via the standard PSL algorithm —
+# exceptions > exact 3-label > exact 2-label / wildcard > implicit '*';
+# a full publicsuffix.org file drops in via psl.load_psl_rules.
 
 
 def defragment(url: Column) -> Column:
@@ -120,20 +117,15 @@ def url_hash64(url: Column) -> Column:
 
 
 def registered_domain(url_or_host: Column, is_host: bool = False) -> Column:
-    """eTLD+1 grouping key: last 2 labels, or last 3 when the 2-label
-    suffix is a known public suffix (co.uk etc.)."""
+    """eTLD+1 grouping key per the public-suffix algorithm over the
+    frozen PSL snapshot (functions/psl.py) — pure column expression
+    (InSet lookups in whole-stage codegen; the rule table ships inside
+    the plan, no join, no shuffle). The pure-Python twin feeding the
+    conformance oracle is ``psl.registered_domain_py``."""
+    from crawlspark.functions.psl import registered_domain_expr
+
     host = url_or_host if is_host else hostname(url_or_host)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    return (
-        F.when(n <= 2, host)
-        .when(last2.isin(*_TWO_LABEL_SUFFIXES), last3)
-        .otherwise(last2)
-    )
+    return registered_domain_expr(host)
 
 
 def resolve_href(base: Column, href: Column) -> Column:

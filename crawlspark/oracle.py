@@ -31,11 +31,7 @@ _TOKEN_RE = re.compile(TOKEN_SPLIT_REGEX)
 _EXT_RE = re.compile("^(" + BLOCKED_EXT_REGEX + ")")
 _STOP = set(STOPWORDS)
 
-_TWO_LABEL = {
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.mx",
-    "co.in", "co.kr", "com.sg", "com.tr", "edu.au",
-}
+from crawlspark.functions.psl import registered_domain_py as _rdom_psl
 
 
 def canonicalize(url: str) -> str:
@@ -48,12 +44,10 @@ def canonical_key(url: str) -> str:
 
 
 def registered_domain(host: str) -> str:
-    parts = host.split(".")
-    if len(parts) <= 2:
-        return host
-    if ".".join(parts[-2:]) in _TWO_LABEL:
-        return ".".join(parts[-3:])
-    return ".".join(parts[-2:])
+    """The engine's PSL-snapshot eTLD+1, via the SHARED pure-Python twin
+    (crawlspark.functions.psl) — oracle and engine evaluate the same
+    frozen rule table, so conformance holds over any host set."""
+    return _rdom_psl(host)
 
 
 def content_counts(caption: str) -> dict[str, int]:
