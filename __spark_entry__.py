@@ -557,6 +557,23 @@ def q_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_bpe_train_256(spark, sf_dir):
+    """Non-toy BPE training (VERDICT r4 #5): 256 merges with batched
+    acceptance (batch_size=16 — up to 16 symbol-disjoint merges per
+    pair-count pass, so the run costs ~16 aggregate+fold passes instead
+    of 256; operators/bpe.py::_accept_batch). min_count=1 lets the
+    merge table grow past the corpus's high-frequency pairs. Iterative —
+    rows-only by contract; the distributed loop, driver fast path, and
+    pure-Python twin are pinned bit-identical at any batch size in
+    tests/test_bpe.py."""
+    from crawlspark.operators import bpe as B
+
+    return B.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=256, min_count=1,
+        batch_size=16,
+    ).orderBy("rank")
+
+
 def q_bpe_encode(spark, sf_dir):
     """Train 16 BPE merges on the corpus, then encode every document
     with the learned table in ONE codegen'd projection (nested
@@ -2067,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "bpe_train": q_bpe_train,
+        "bpe_train_256": q_bpe_train_256,
         "bpe_encode": q_bpe_encode,
         "mix_sources": q_mix_sources,
         "pii_scrub": q_pii_scrub,

@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "dedup_clusters",
     "dedup_keep_best",
     "bpe_train",
+    "bpe_train_256",
     "bpe_encode",
     "shard_stats",
     "dust_rules",

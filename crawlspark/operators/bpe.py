@@ -80,6 +80,32 @@ def word_freq_table(
     )
 
 
+def _accept_batch(
+    ranked: list[tuple[str, str, int]], batch_size: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batched acceptance from ONE pair-count table (the standard
+    batching trick for cutting a 256-merge chain to 256/B corpus passes):
+    walk candidates in (count desc, left asc, right asc) order and accept
+    up to ``batch_size`` whose symbols are DISJOINT from every earlier
+    accepted merge's {left, right, merged} — applying an earlier merge
+    provably cannot change such a pair's count, so the accepted counts
+    are exact. batch_size=1 reduces to classic sequential BPE. Shared by
+    the distributed loop and the pure-Python twin, so both paths stay
+    bit-identical at any batch size."""
+    taken: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for l, r, c in ranked:
+        if c < min_count:
+            break
+        if l in used or r in used or (l + r) in used:
+            continue
+        taken.append((l, r, c))
+        if len(taken) >= batch_size:
+            break
+        used.update((l, r, l + r))
+    return taken
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 24,
@@ -87,6 +113,7 @@ def bpe_train(
     min_count: int = 2,
     min_word_count: int = 1,
     driver_vocab_threshold: int = 200_000,
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table (rank, left, right, merged, weight) — ranks in learned order,
@@ -100,10 +127,20 @@ def bpe_train(
     runs on the driver (one collect + the pure-Python loop) instead of
     paying 2 Spark jobs per merge — byte-identical output by
     construction (the distributed loop and ``bpe_train_python`` share
-    the frozen tie-break; equality asserted in tests/test_bpe.py). The
-    distributed loop remains the path for 10^6+-word corpora; pass
-    ``driver_vocab_threshold=0`` to force it."""
+    the frozen tie-break AND the batch-acceptance rule; equality
+    asserted in tests/test_bpe.py). The distributed loop remains the
+    path for 10^6+-word corpora; pass ``driver_vocab_threshold=0`` to
+    force it.
+
+    ``batch_size`` (VERDICT r4 #5 — non-toy merge counts): accept up to
+    B symbol-disjoint merges per pair-count pass (``_accept_batch``), so
+    a 256-merge training run costs ~256/B aggregate+fold passes instead
+    of 256. batch_size=1 is classic sequential BPE; B>1 is the standard
+    batched variant — deterministic and twin-pinned, but a deliberate
+    approximation of the sequential order (a pair CREATED by an earlier
+    in-batch merge can't win until the next pass)."""
     spark = docs.sparkSession
+    batch_size = max(1, int(batch_size))
     wf = word_freq_table(docs, text_col, min_word_count).localCheckpoint()
     if driver_vocab_threshold and wf.count() <= driver_vocab_threshold:
         rows = wf.select(
@@ -112,7 +149,8 @@ def bpe_train(
         ).collect()
         wf.unpersist()
         got = bpe_train_python(
-            {r["w"]: int(r["wt"]) for r in rows}, n_merges, min_count
+            {r["w"]: int(r["wt"]) for r in rows}, n_merges, min_count,
+            batch_size=batch_size,
         )
         return spark.createDataFrame(
             [(i, l, r, l + r, c) for i, (l, r, c) in enumerate(got)],
@@ -120,7 +158,8 @@ def bpe_train(
         )
     merges: list[tuple[int, str, str, str, int]] = []
     try:
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
+            room = min(batch_size, n_merges - len(merges))
             pairs = wf.select(
                 F.explode(
                     F.zip_with(
@@ -131,20 +170,28 @@ def bpe_train(
                 ).alias("p"),
                 "wt",
             )
-            best = (
+            # collect a margin over the batch: conflicting candidates are
+            # skipped, the surviving prefix is accepted; anything missed
+            # (margin exhausted) simply wins a later pass — acceptance
+            # order is unaffected because ranking is global
+            top = (
                 pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("wt").alias("c"))
                 .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-                .limit(1)
+                .limit(max(8 * room, 8))
                 .collect()
             )
-            if not best or best[0]["c"] < min_count:
+            taken = _accept_batch(
+                [(r["l"], r["r"], int(r["c"])) for r in top], room, min_count
+            )
+            if not taken:
                 break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((rank, l, r, l + r, c))
-            nxt = wf.select(
-                _apply_merge(F.col("syms"), l, r).alias("syms"), "wt"
-            ).localCheckpoint()
+            for l, r, c in taken:
+                merges.append((len(merges), l, r, l + r, c))
+            col = F.col("syms")
+            for l, r, _ in taken:  # one fused projection per pass
+                col = _apply_merge(col, l, r)
+            nxt = wf.select(col.alias("syms"), "wt").localCheckpoint()
             wf.unpersist()
             wf = nxt
     finally:
@@ -158,36 +205,46 @@ def bpe_train_python(
     word_counts: dict[str, int],
     n_merges: int = 24,
     min_count: int = 2,
+    batch_size: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Pure-Python twin of ``bpe_train`` over a word→count dict (same
-    frozen tie-break); the conformance oracle for pytest value goldens —
-    kept beside the operator so drift is impossible to miss."""
+    frozen tie-break, same batch-acceptance rule INCLUDING the top-K
+    candidate margin, so distributed and driver paths stay bit-identical
+    at any batch size); the conformance oracle for pytest value goldens
+    — kept beside the operator so drift is impossible to miss."""
+    batch_size = max(1, int(batch_size))
     wf: list[tuple[list[str], int]] = [
         (list(w) + [EOW], c) for w, c in word_counts.items()
     ]
     out: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(out) < n_merges:
+        room = min(batch_size, n_merges - len(out))
         counts: dict[tuple[str, str], int] = {}
         for syms, c in wf:
             for a, b in zip(syms, syms[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + c
         if not counts:
             break
-        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if c < min_count:
+        ranked = sorted(
+            ((l, r, c) for (l, r), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: max(8 * room, 8)]
+        taken = _accept_batch(ranked, room, min_count)
+        if not taken:
             break
-        out.append((l, r, c))
-        merged = l + r
-        nwf = []
-        for syms, wt in wf:
-            acc: list[str] = []
-            for x in syms:
-                if acc and acc[-1] == l and x == r:
-                    acc[-1] = merged
-                else:
-                    acc.append(x)
-            nwf.append((acc, wt))
-        wf = nwf
+        out.extend(taken)
+        for l, r, _ in taken:  # apply sequentially, acceptance order
+            merged = l + r
+            nwf = []
+            for syms, wt in wf:
+                acc: list[str] = []
+                for x in syms:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = merged
+                    else:
+                        acc.append(x)
+                nwf.append((acc, wt))
+            wf = nwf
     return out
 
 

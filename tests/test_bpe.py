@@ -81,3 +81,37 @@ def test_bpe_apply_merge_fold_greedy(spark):
     df = spark.createDataFrame([(["a", "a", "a", "b"],)], ["syms"])
     got = df.select(B._apply_merge(F.col("syms"), "a", "a").alias("m")).first()["m"]
     assert got == ["aa", "a", "b"]
+
+
+def test_bpe_batched_paths_identical_and_sane(spark):
+    """batch_size>1 (VERDICT r4 #5): the distributed loop, the driver
+    fast path, and the pure-Python twin must stay bit-identical under
+    batching; batch acceptance only takes symbol-disjoint merges per
+    pass; batch_size=1 reproduces sequential training exactly."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    twin = B.bpe_train_python(_wc(TEXTS), n_merges=24, batch_size=4)
+    for thresh in (200_000, 0):
+        out = (
+            B.bpe_train(
+                docs, n_merges=24, driver_vocab_threshold=thresh, batch_size=4
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["left"], r["right"], r["weight"]) for r in out] == twin, thresh
+    assert len(twin) == 24
+
+    # batch_size=1 == the classic sequential twin
+    assert B.bpe_train_python(_wc(TEXTS), n_merges=20, batch_size=1) == (
+        B.bpe_train_python(_wc(TEXTS), n_merges=20)
+    )
+
+    # acceptance rule: within one batch no accepted merge touches an
+    # earlier accepted merge's left/right/merged symbols
+    ranked = [("a", "b", 100), ("b", "c", 90), ("x", "y", 80), ("ab", "q", 70)]
+    taken = B._accept_batch(ranked, 4, min_count=1)
+    assert taken == [("a", "b", 100), ("x", "y", 80)]
+    # min_count stops the walk
+    assert B._accept_batch([("a", "b", 1)], 4, min_count=2) == []
