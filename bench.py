@@ -95,6 +95,11 @@ def run_crawl_bench(spark, n_pages: int, n_domains: int, rounds: int) -> dict:
     cfg = CrawlConfig(
         allowed_url_patterns=(r"https?://[a-z0-9.-]*\.example(/|$)",),
         per_domain_quota=1,
+        # per-key HEADS table scheduling (default; byte-identical to the
+        # full scan — tests/test_heads_schedule.py): the politeness tick
+        # reads O(#keys × B) rows, the many-keys-regime shape. Override
+        # with CRAWL_BENCH_HEADS_MODE=scan for the footer-stats path.
+        extra={"heads_mode": os.environ.get("CRAWL_BENCH_HEADS_MODE", "table")},
     )
     state_dir = tempfile.mkdtemp(prefix="crawlbench_")
     eng = CrawlEngine(
