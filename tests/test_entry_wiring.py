@@ -37,5 +37,6 @@ def test_rows_only_queries_are_the_documented_set():
         "approx_distinct",
         "approx_quantiles",
         "bpe_train",
+        "bpe_train_256",
         "bpe_encode",
     }, sorted(rows_only)
