@@ -61,10 +61,16 @@ def _caption(id_col: Column, n_words: int = 40) -> Column:
 
 def build_pages(
     spark: SparkSession, n_pages: int, n_domains: int, fanout: int = 6,
-    partitions: int = 64,
+    partitions: int | None = None,
 ) -> DataFrame:
     """pages table (fetch-join shape; no image payload at bench scale —
     payload validation is exercised at test scale, SURVEY.md §5.3)."""
+    if partitions is None:
+        # match the session's core count: the per-round fetch join scans
+        # this cached frame every politeness tick, and a partition count
+        # above the core count turns each tiny scan into multiple task
+        # waves of pure scheduling latency
+        partitions = spark.sparkContext.defaultParallelism
     ids = spark.range(0, n_pages, 1, partitions).withColumnRenamed("id", "pid")
     pid = F.col("pid")
     n_links = F.pmod(F.xxhash64(pid, F.lit(4)), F.lit(fanout + 1))
@@ -99,10 +105,13 @@ def build_pages(
 
 
 def build_frontier(
-    spark: SparkSession, n_pages: int, n_domains: int, partitions: int = 64
+    spark: SparkSession, n_pages: int, n_domains: int,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Pre-filled pending frontier (the '10^10-URL frontier' stand-in):
     every page pending at depth 0, discovery_seq = id."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
     ids = spark.range(0, n_pages, 1, partitions).withColumnRenamed("id", "pid")
     pid = F.col("pid")
     url = _url(pid, n_domains)
