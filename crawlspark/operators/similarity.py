@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
-  Dot products in double via zip_with/aggregate (JVM-side, codegen'd);
+  One Arrow GEMM pass over the corpus with per-batch top-k pruning;
   ranking quantized to 6 decimals with id tie-break so results are
   stable across engines (the DuckDB oracle reproduces it bit-for-bit).
 - ``ann_hyperplane_topk``: the scale path — random-hyperplane LSH:
@@ -29,6 +29,25 @@ def _cosine(va, vb):
     return dot / (n(va) * n(vb))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-wise cosine of two array<double> columns — Arrow-batched numpy
+    replacement for the interpreted ``_cosine`` HOF in the re-rank stages
+    (guide §4.2: the per-element lambda chain measured ~100x codegen
+    cost; dedup.py's verify path made the same swap in round 4). The 6-dp
+    rounding downstream absorbs the summation-order ULP difference, the
+    same contract the DuckDB oracles already rely on. No zero-norm guard:
+    0/0 yields NaN exactly like the HOF's division."""
+    if len(va) == 0:
+        return pd.Series([], dtype=float)
+    a = np.stack(va.to_numpy()).astype(np.float64)
+    b = np.stack(vb.to_numpy()).astype(np.float64)
+    dot = np.einsum("ij,ij->i", a, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dot / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    return pd.Series(out)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -37,18 +56,81 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors (excluding self) per query vector.
-    Output: (query_id, neighbor_id, rank, cosine)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    Output: (query_id, neighbor_id, rank, cosine).
+
+    One Arrow GEMM pass over the corpus (guide §4.2 / §8): the bounded
+    query set rides into every task as a closure matrix, each batch
+    scores its corpus slice with a single numpy matmul and emits only
+    the rows that can still reach the global top-k (every row whose
+    rounded cosine ties-or-beats the batch's k-th best per query — an
+    exact prune: a dropped row has k strictly-greater rows in its own
+    batch, so it can never outrank them globally under the
+    (cosine desc, id asc) order). The former shape — a crossJoin scoring
+    N·Q pairs through an interpreted zip_with/aggregate lambda chain and
+    shuffling them all into the rank window — did ~100x the per-pair
+    work and shuffled the full score matrix; this plan shuffles
+    O(batches · Q · k) survivor rows into the final exact window.
+    NaN cosines (zero-norm vectors) are kept unconditionally: Spark
+    orders NaN above every double in a descending sort, and the final
+    window is still Spark's, so tie semantics are unchanged."""
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
-    )
+    # the query set is bounded (it is held in memory by every scorer
+    # task); collect happens at plan-construction time inside the caller's
+    # timed window, exactly like the trained-anchor collect in
+    # train_ivf_kmeans
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    if not qrows:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(0).cast("long"))
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnrm = np.linalg.norm(qmat, axis=1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnrm = np.linalg.norm(mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round((mat @ qmat.T) / np.outer(cnrm, qnrm), 6)
+            # rank key: NaN sorts ABOVE all doubles in Spark's desc order
+            key = np.where(np.isnan(cos), np.inf, cos)
+            key[ids[:, None] == qids[None, :]] = -np.inf  # self never ranks
+            keep = np.zeros(cos.shape, dtype=bool)
+            for j in range(len(qids)):
+                col = key[:, j]
+                valid = col > -np.inf
+                nv = int(valid.sum())
+                if nv == 0:
+                    continue
+                if nv > k:
+                    thr = np.partition(col[valid], nv - k)[nv - k]
+                else:
+                    thr = -np.inf
+                keep[:, j] = valid & (col >= thr)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[jj],
+                    "neighbor_id": ids[ii],
+                    "cosine": cos[ii, jj],
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -313,7 +395,7 @@ def ann_ivf_topk(
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(_cosine_arrow(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -360,7 +442,7 @@ def ann_hyperplane_topk(
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", F.round(_cosine_arrow(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
