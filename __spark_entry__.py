@@ -181,7 +181,8 @@ def q_subdomain_counts(spark, sf_dir):
 
 
 def q_top50_words(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the single-file corpus otherwise tokenizes on one core
+    docs = DD._spread(_t(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(F.explode(X.content_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -422,7 +423,11 @@ def _dust_pages(d: DataFrame) -> DataFrame:
         F.struct(F.concat(base, F.lit("&mode=1")).alias("url"), fp1.alias("fp")),
         F.struct(F.concat(base, F.lit("&mode=2")).alias("url"), fp2.alias("fp")),
     )
-    return d.select(F.explode(variants).alias("p")).select("p.url", "p.fp")
+    # _spread: the single-file corpus otherwise expands + URL-parses its
+    # 4 variants per doc on one core (dust_rules' dominant stage)
+    return DD._spread(d.select("doc_id", "source")).select(
+        F.explode(variants).alias("p")
+    ).select("p.url", "p.fp")
 
 
 def q_dust_rules(spark, sf_dir):

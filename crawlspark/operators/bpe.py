@@ -67,8 +67,14 @@ def word_freq_table(
     """One pass over the corpus: (syms: array<string>, wt: long) — each
     distinct word split to characters + EOW, weighted by corpus count.
     This is the only corpus-sized job in BPE training."""
+    from crawlspark.operators.dedup import _spread
+
+    # _spread: a single-file corpus arrives as ONE scan partition and the
+    # regexp tokenize + explode would run serially (dedup.py's small-file
+    # guard — this pass dominated bpe_train at sf1.0: 7.7 s on one core)
     wf = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        _spread(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wt"))
     )

@@ -35,6 +35,23 @@ from pyspark.sql import functions as F
 
 from crawlspark.functions.text import tokens
 
+# persist registry (same contract as operators/dedup.py): intermediates
+# cached inside an entry point are released on the NEXT call
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = tokens(F.col(text_col))
@@ -53,7 +70,16 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Train the corpus bigram LM and score every document; returns
     (id, n_bigrams, cross_entropy, perplexity)."""
-    bg = _doc_bigrams(docs, text_col, id_col)
+    from crawlspark.operators.dedup import _spread
+
+    release_caches()
+    # _spread: a single-file corpus arrives as ONE scan partition and the
+    # regexp tokenize would run serially (dedup.py's small-file guard);
+    # persist the bigram explode: it feeds BOTH the model aggregate and
+    # the scoring join — without the cache the corpus tokenizes and
+    # explodes twice (the regexp tokenize is the dominant per-row work)
+    docs = _spread(docs.select(id_col, text_col))
+    bg = _persist(_doc_bigrams(docs, text_col, id_col))
     cab = bg.groupBy("bg").agg(F.count("*").alias("cab"))
     ca = (
         cab.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("a"))

@@ -265,13 +265,19 @@ def dsir_weights(
             .select("doc_id", (md5_int60(F.col("ft")) % B).alias("b"))
         )
 
-    src_f = feats(source)
+    release_caches()
+    # persist the exploded source features: they feed BOTH the B-sized
+    # count aggregate and the per-doc scoring join below — without the
+    # cache the tokenize+hash explode (the operator's dominant per-row
+    # work) runs twice over the source corpus (guide §5: reuse beats
+    # recompute when the recompute is the expensive pass). Rows are
+    # (doc_id, bucket) longs — ~2 machine words per feature.
+    src_f = _persist(feats(source))
     # persist the two B-sized count tables: without the cache, the
     # totals probes and the log-ratio join would each re-run the full
     # feature explode (3 extra corpus passes); with it the operator is
     # the inherent two passes (+1 over the target) — released on the
     # next dsir_weights/release_caches call
-    release_caches()
     tgt_counts = _persist(
         feats(target).groupBy("b").agg(F.count("*").alias("t_n"))
     )

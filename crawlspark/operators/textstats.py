@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 
 from crawlspark.functions.text import STOPWORD_SETS, md5_int60, tokens
 
+# persist registry (same contract as operators/dedup.py): intermediates
+# cached inside an entry point are released on the NEXT call
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def tfidf_topk(
     docs: DataFrame,
@@ -35,9 +52,17 @@ def tfidf_topk(
     cannot flip ranks); ties break on the term string. Returns
     (doc_id, term, score, rk).
     """
+    from crawlspark.operators.dedup import _spread
+
+    release_caches()
     n_docs = docs.select(id_col).distinct().count()
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    # _spread: a single-file corpus arrives as ONE scan partition and the
+    # regexp tokenize would run serially; persist tf — it feeds both the
+    # df aggregate and the scoring join (the tokenize+explode would
+    # otherwise run twice)
+    tf = _persist(
+        _spread(docs.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -297,6 +322,10 @@ def chunk_documents(
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
+    from crawlspark.operators.dedup import _spread
+
+    # _spread: single-file corpora otherwise tokenize+explode on one core
+    df = _spread(df.select(id_col, text_col))
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     base = df.select(

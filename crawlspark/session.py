@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan split size (guide §6): the sandbox tables are single
+        # small parquet files whose row groups otherwise land in one or
+        # two 128 MB splits — a 6-million-row lineitem scan then runs on
+        # 2 of 32 cores. 16 MB splits let the scan parallelize down to
+        # row-group granularity. Scale-dependent knob, so env-overridable:
+        # production corpora with many ≥128 MB files should run the
+        # default-to-large split ("128m"–"1g" — fewer map tasks feeding
+        # each shuffle, guide §2.2) via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # FAIR across pools: the engine files its background state-delta
         # writes under a separate pool so the round's critical-path jobs
         # (admission) interleave with them instead of queueing behind a
