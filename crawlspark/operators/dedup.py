@@ -364,29 +364,46 @@ def minhash_lsh_pairs(
     rows = k // bands
     release_caches()
     df = _spread(df)
-    # persisted: base feeds the signature AND both sides of the verify
-    # join; banded self-joins against itself — each would otherwise
-    # re-evaluate the whole shingle/signature expression tree per branch
+    # persisted: base feeds the banding AND both sides of the verify
+    # join — shingles and the k minhash values come out of ONE fused
+    # Arrow pass (guide §4.2): the former pipeline re-tokenized via the
+    # shingle UDF, then exploded the shingle arrays back into one row
+    # per (doc, shingle) only to run an md5 + k modular projections and
+    # a k-column min aggregate in the JVM (a corpus-sized explode and an
+    # extra shuffle, both now gone — the per-doc numpy min is the same
+    # frozen (a·b + c) mod P family, bit-identical values).
+    x = shingle_minhash_udf(n, k)(F.col(text_col))
     base = _persist(df.select(
-        F.col(id_col).alias("doc"), text_shingles_udf(n)(F.col(text_col)).alias("shs")
-    ))
-    sig = minhash_signatures(base, "doc", "shs", k)
+        F.col(id_col).alias("doc"), x.alias("x")
+    ).select("doc", F.col("x.shs").alias("shs"), F.col("x.sig").alias("sig")))
+    # band key: 8-byte xxhash64 of the band's signature slice instead of
+    # a 32-char md5 string (guide §2.3 — narrower shuffle keys; a band
+    # collision is still verified exactly below, so a 64-bit key
+    # collision can only add a candidate, never change the output)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
+                F.xxhash64(
                     F.concat_ws(
-                        ":", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ":",
+                        *[
+                            F.element_at("sig", b * rows + r + 1)
+                            for r in range(rows)
+                        ],
                     )
                 ).alias("band_key"),
             )
             for b in range(bands)
         ]
     )
-    banded = _persist(sig.select("doc", F.explode(band_structs).alias("bk")).select(
-        "doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
-    ))
+    banded = _persist(
+        base.filter(F.col("sig").isNotNull())
+        .select("doc", F.explode(band_structs).alias("bk"))
+        .select(
+            "doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+        )
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])
@@ -622,6 +639,60 @@ def text_shingles_udf(n: int):
             sh = [" ".join(toks[i : i + n]) for i in range(m)] if m > 0 else []
             out.append(list(dict.fromkeys(sh)))
         return _pd.Series(out)
+
+    return f
+
+
+def shingle_minhash_udf(n: int, k: int = MINHASH_K):
+    """Fused Arrow twin of ``text_shingles_udf`` + ``minhash_signatures``:
+    one pass over the text yields (shs, sig) — the distinct word-n-gram
+    shingles AND the k-wide minhash signature, with NO corpus-sized
+    explode or extra shuffle between them. Values are bit-identical to
+    the relational pipeline: the base hash is the shared 60-bit md5
+    (int(md5(s)[:15], 16), the exact ``md5_int60`` formula) reduced mod
+    the Mersenne prime, and the k permutations are the same frozen
+    ``MINHASH_AB`` affine family evaluated in int64 (products < 2^62 —
+    no overflow, same as the JVM path). Documents with no shingles get
+    ``sig = NULL`` (they never entered the signature aggregate before
+    either)."""
+    A = _np.array([a for a, _ in MINHASH_AB[:k]], dtype=_np.int64)
+    B = _np.array([b for _, b in MINHASH_AB[:k]], dtype=_np.int64)
+    P = MINHASH_PRIME
+
+    @_pandas_udf(
+        T.StructType(
+            [
+                T.StructField("shs", T.ArrayType(T.StringType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def f(texts: _pd.Series) -> _pd.DataFrame:
+        shs_out: list = []
+        sig_out: list = []
+        for t in texts:
+            toks = [x for x in _SPLIT.split((t or "").lower()) if x]
+            m = len(toks) - n + 1
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(m)
+                )
+            ) if m > 0 else []
+            shs_out.append(sh)
+            if not sh:
+                sig_out.append(None)
+                continue
+            base = _np.array(
+                [int(_md5(s.encode()).hexdigest()[:15], 16) % P for s in sh],
+                dtype=_np.int64,
+            )
+            sig_out.append((A[None, :] * base[:, None] + B[None, :]) % P)
+        return _pd.DataFrame(
+            {
+                "shs": shs_out,
+                "sig": [s if s is None else s.min(axis=0) for s in sig_out],
+            }
+        )
 
     return f
 

@@ -19,6 +19,7 @@ with exact DuckDB twins:
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,15 +255,44 @@ def dsir_weights(
 
     from crawlspark.operators.dedup import _spread
 
+    # fused Arrow featurizer (guide §4.2): tokenize, build the
+    # unigram+bigram feature strings, and hash them to buckets in ONE
+    # Python pass per row — the relational shape built 10M+ feature
+    # STRINGS (concat + transform) and md5'd each in the JVM before the
+    # explode could reduce them to a bucket int; this emits the bucket
+    # array directly so the explode moves 8-byte ints only. The hash is
+    # the exact md5_int60 formula (int(md5(s)[:15], 16) — the same
+    # Python twin the conformance-proven simhash UDF relies on) mod B,
+    # so values are bit-identical to the expression path.
+    import re as _re
+    from hashlib import md5 as _md5
+
+    from pyspark.sql import types as _T
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    from crawlspark.functions.text import TOKEN_SPLIT_REGEX as _TOKRE
+
+    _split = _re.compile(_TOKRE)
+
+    @_pandas_udf(_T.ArrayType(_T.LongType()))
+    def _buckets(texts: _pd.Series) -> _pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in _split.split((t or "").lower()) if x]
+            fs = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            out.append(
+                [int(_md5(s.encode()).hexdigest()[:15], 16) % B for s in fs]
+            )
+        return _pd.Series(out)
+
     def feats(df: DataFrame) -> DataFrame:
-        t = tokens(F.col(text_col))
-        f = F.concat(t, _word_ngrams(t, 2))
         # _spread: a single-file corpus otherwise tokenizes+hashes on
         # ONE core (dedup.py's small-file guard, same hazard here)
         return (
             _spread(df.select(F.col(id_col).alias("doc_id"), text_col))
-            .select("doc_id", F.explode(f).alias("ft"))
-            .select("doc_id", (md5_int60(F.col("ft")) % B).alias("b"))
+            .select("doc_id", F.explode(_buckets(F.col(text_col))).alias("b"))
         )
 
     release_caches()
