@@ -270,6 +270,12 @@ def bpe_encode(
     worker, no shuffle — embarrassingly parallel over documents). The
     merge table is vocabulary-sized driver state (tens to thousands of
     rows), never data-sized."""
+    from crawlspark.operators.dedup import _spread
+
+    # _spread: the per-word nested merge folds are the heaviest
+    # expression tree in the repo — a single-file corpus would evaluate
+    # them all on one core (dedup.py's small-file guard)
+    docs = _spread(docs.select(id_col, text_col))
     syms = F.transform(
         tokens(F.col(text_col)),
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),

@@ -571,39 +571,103 @@ def embedding_neardup_lsh_pairs(
     θ ≤ 26°) the defaults give ~1-1e-5 recall. ``bits`` sizes the bucket
     space: false candidates fall ~2× per extra bit while true-pair recall
     decays only as p_bit^bits (p_bit ≈ 0.97 at θ ≈ 5°), so more bits is
-    the cheap lever against candidate explosion at scale. Verify is an
-    Arrow pandas-UDF numpy dot (the 64-term interpreted zip_with/aggregate
-    HOF was the profile hotspot at ~100× codegen cost); rounding to 6 dp
-    absorbs the summation-order difference vs the sequential-sum DuckDB
-    oracle, exactly as ``embedding_neardup_pairs`` does."""
+    the cheap lever against candidate explosion at scale. Verify is a
+    per-bucket numpy GEMM (each bucket's vectors arrive once, inside the
+    sketch rows); rounding to 6 dp absorbs the summation-order
+    difference vs the sequential-sum DuckDB oracle, exactly as
+    ``embedding_neardup_pairs`` does."""
+    import numpy as np
+    import pandas as pd
+
     from crawlspark.operators.similarity import sketch
 
     release_caches()
-    # persisted: df feeds the sketch AND both verify-join sides (any
-    # upstream construction would evaluate 3×), and the sketch feeds both
-    # sides of the bucket self-join. _spread first: a small parquet
-    # input is ONE partition and would run the sketch stage serially.
-    df = _persist(_spread(df.select(F.col(id_col), F.col(vec_col))))
-    sk = _persist(
-        sketch(df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    # _spread first: a small parquet input is ONE partition and would
+    # run the sketch stage serially.
+    df = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    # Per-BUCKET GEMM verify (guide §8: move the heavy bytes once): the
+    # sketch rows carry their vector, one groupBy((table, bucket)) ships
+    # each vector once per table (~N·tables vector rows), and every
+    # bucket verifies its own pairs with one numpy matmul — emitting
+    # only the >= threshold survivors. The former shape materialized the
+    # DISTINCT candidate pairs first and joined BOTH vectors back onto
+    # every pair: at sf1.0 that was 2.4e6 pairs x 2 full vectors
+    # (~15x the bytes) through the joins and the Arrow verify UDF, and
+    # it was the query's dominant, memory-pressure-sensitive stage.
+    # Same math as embedding_neardup_pairs' blocked GEMM (unit rows,
+    # np.round to 6 dp, zero-norm rows match nothing); a pair colliding
+    # in several tables resolves deterministically via min(cosine) —
+    # the rounded value is identical across tables except at
+    # astronomically-rare ULP boundaries.
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    cand = (
-        sk.alias("x")
-        .join(sk.alias("y"), ["table_id", "bucket"])
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
-        .distinct()
+
+    from collections.abc import Iterator as _Iter
+
+    def bucket_pairs(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        # one partition holds whole buckets (hash-repartitioned on the
+        # bucket key below); concat its Arrow batches, then slice bucket
+        # groups out of ONE sorted matrix — per-group work is a numpy
+        # view + matmul, no per-group pandas frame construction
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        key = pdf["table_id"].to_numpy().astype(np.int64) * (1 << 44) + pdf[
+            "bucket"
+        ].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = np.inf
+        mat = mat / nrm
+        cuts = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(key)]))
+        outs: list[pd.DataFrame] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            sub = mat[s:e]
+            cos = np.round(sub @ sub.T, 6)
+            iu, ju = np.triu_indices(n, k=1)
+            keep = cos[iu, ju] >= threshold
+            if not keep.any():
+                continue
+            ia, ib = ids[s + iu[keep]], ids[s + ju[keep]]
+            cs = cos[iu, ju][keep]
+            swap = ia > ib
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.where(swap, ib, ia),
+                        "id_b": np.where(swap, ia, ib),
+                        "cosine": cs,
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    skv = sketch(
+        df, bits=bits, n_tables=n_tables, id_col=id_col, vec_col=vec_col,
+        carry_vec=True,
     )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "cosine", F.round(_cosine_pudf(F.col("va"), F.col("vb")), 6)
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        skv.repartition(par, "table_id", "bucket")
+        .mapInPandas(bucket_pairs, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"))
     )
 
 

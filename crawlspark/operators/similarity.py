@@ -165,8 +165,13 @@ def _hyperplanes(dim: int, bits: int, table: int) -> np.ndarray:
 
 
 def sketch(df: DataFrame, bits: int = 12, n_tables: int = 4,
-           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, table_id, bucket) sign-bit sketches, Arrow-batched."""
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           carry_vec: bool = False) -> DataFrame:
+    """(vec_id, table_id, bucket) sign-bit sketches, Arrow-batched.
+    ``carry_vec=True`` additionally emits the vector column ``v`` per
+    sketch row, so a downstream per-bucket verify can GEMM inside the
+    bucket group without joining the vectors back on (guide §8: move
+    the heavy payload once, decide on small rows)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes: dict[int, np.ndarray] = {}
@@ -179,12 +184,19 @@ def sketch(df: DataFrame, bits: int = 12, n_tables: int = 4,
                     planes[t] = _hyperplanes(mat.shape[1], bits, t)
                 signs = (mat @ planes[t].T) > 0
                 buckets = (signs * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
-                outs.append(
-                    pd.DataFrame({"vec_id": ids, "table_id": t, "bucket": buckets})
-                )
+                out = pd.DataFrame({"vec_id": ids, "table_id": t, "bucket": buckets})
+                if carry_vec:
+                    out["v"] = pdf[vec_col].to_numpy()
+                outs.append(out)
             yield pd.concat(outs)
 
-    return df.select(id_col, vec_col).mapInPandas(gen, _SKETCH_SCHEMA)
+    schema = _SKETCH_SCHEMA
+    if carry_vec:
+        schema = T.StructType(
+            list(_SKETCH_SCHEMA.fields)
+            + [T.StructField("v", T.ArrayType(T.DoubleType()))]
+        )
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def ivf_anchors(dim: int, n_cells: int) -> np.ndarray:
