@@ -397,7 +397,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = _persist(
+    # NOT persisted: the band explode re-derives from the cached base in
+    # each join branch for less than one extra materialization barrier
+    banded = (
         base.filter(F.col("sig").isNotNull())
         .select("doc", F.explode(band_structs).alias("bk"))
         .select(
@@ -710,15 +712,21 @@ def text_shingles_udf(n: int):
 def shingle_minhash_udf(n: int, k: int = MINHASH_K):
     """Fused Arrow twin of ``text_shingles_udf`` + ``minhash_signatures``:
     one pass over the text yields (shs, sig) — the distinct word-n-gram
-    shingles AND the k-wide minhash signature, with NO corpus-sized
-    explode or extra shuffle between them. Values are bit-identical to
-    the relational pipeline: the base hash is the shared 60-bit md5
-    (int(md5(s)[:15], 16), the exact ``md5_int60`` formula) reduced mod
-    the Mersenne prime, and the k permutations are the same frozen
+    shingles as their 60-bit md5 hashes AND the k-wide minhash
+    signature, with NO corpus-sized explode or extra shuffle between
+    them. Values are bit-identical to the relational pipeline: the base
+    hash is the shared 60-bit md5 (int(md5(s)[:15], 16), the exact
+    ``md5_int60`` formula) reduced mod the Mersenne prime for the
+    signatures, and the k permutations are the same frozen
     ``MINHASH_AB`` affine family evaluated in int64 (products < 2^62 —
-    no overflow, same as the JVM path). Documents with no shingles get
-    ``sig = NULL`` (they never entered the signature aggregate before
-    either)."""
+    no overflow, same as the JVM path). The verify stage intersects the
+    60-bit hash arrays instead of shingle strings (guide §2.3 — 8-byte
+    elements instead of ~25-char strings through the shuffle and the
+    intersect); counts differ only if two distinct shingles of one
+    document pair collide in 60 bits (~|shingles|²/2^61 — the same
+    documented stance as ngram_jaccard_pairs' hashed inverted index).
+    Documents with no shingles get ``sig = NULL`` (they never entered
+    the signature aggregate before either)."""
     A = _np.array([a for a, _ in MINHASH_AB[:k]], dtype=_np.int64)
     B = _np.array([b for _, b in MINHASH_AB[:k]], dtype=_np.int64)
     P = MINHASH_PRIME
@@ -726,7 +734,7 @@ def shingle_minhash_udf(n: int, k: int = MINHASH_K):
     @_pandas_udf(
         T.StructType(
             [
-                T.StructField("shs", T.ArrayType(T.StringType())),
+                T.StructField("shs", T.ArrayType(T.LongType())),
                 T.StructField("sig", T.ArrayType(T.LongType())),
             ]
         )
@@ -742,14 +750,16 @@ def shingle_minhash_udf(n: int, k: int = MINHASH_K):
                     " ".join(toks[i : i + n]) for i in range(m)
                 )
             ) if m > 0 else []
-            shs_out.append(sh)
             if not sh:
+                shs_out.append([])
                 sig_out.append(None)
                 continue
-            base = _np.array(
-                [int(_md5(s.encode()).hexdigest()[:15], 16) % P for s in sh],
+            h60 = _np.array(
+                [int(_md5(s.encode()).hexdigest()[:15], 16) for s in sh],
                 dtype=_np.int64,
             )
+            shs_out.append(h60)
+            base = h60 % P
             sig_out.append((A[None, :] * base[:, None] + B[None, :]) % P)
         return _pd.DataFrame(
             {

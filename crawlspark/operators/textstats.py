@@ -21,22 +21,12 @@ from pyspark.sql import functions as F
 
 from crawlspark.functions.text import STOPWORD_SETS, md5_int60, tokens
 
-# persist registry (same contract as operators/dedup.py): intermediates
-# cached inside an entry point are released on the NEXT call
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _LIVE_CACHES.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    while _LIVE_CACHES:
-        try:
-            _LIVE_CACHES.pop().unpersist()
-        except Exception:
-            pass
+# SHARED persist registry (operators/dedup.py's): intermediates cached
+# inside any entry point are released on the NEXT entry-point call of
+# ANY operator module — a bench/suite run never accumulates cached
+# blocks across queries (guide §5: cached data competes with execution
+# memory; unpersist when done)
+from crawlspark.operators.dedup import _persist, release_caches  # noqa: F401
 
 
 def tfidf_topk(
