@@ -35,6 +35,13 @@ TOK_SQL = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x <
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query starts by loading its tables — release the PREVIOUS
+    # query's registered caches here so a sequential suite run (bench,
+    # driver correctness pass) never accumulates dead cached blocks
+    # across queries, including after entry points that register caches
+    # but are followed only by cache-free queries (guide §5). Unpersist
+    # of a frame some lazy plan still references is safe — it recomputes.
+    DD.release_caches()
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
