@@ -189,7 +189,10 @@ def q_subdomain_counts(spark, sf_dir):
 
 def q_top50_words(spark, sf_dir):
     # _spread: the single-file corpus otherwise tokenizes on one core
-    docs = DD._spread(_t(spark, sf_dir, "documents").select("text"))
+    docs = DD._spread(
+        _t(spark, sf_dir, "documents").select("text"),
+        min_bytes=DD.SPREAD_MIN_SCAN_BYTES,
+    )
     return (
         docs.select(F.explode(X.content_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -432,7 +435,9 @@ def _dust_pages(d: DataFrame) -> DataFrame:
     )
     # _spread: the single-file corpus otherwise expands + URL-parses its
     # 4 variants per doc on one core (dust_rules' dominant stage)
-    return DD._spread(d.select("doc_id", "source")).select(
+    return DD._spread(
+        d.select("doc_id", "source"), min_bytes=DD.SPREAD_MIN_SCAN_BYTES
+    ).select(
         F.explode(variants).alias("p")
     ).select("p.url", "p.fp")
 

@@ -67,13 +67,13 @@ def word_freq_table(
     """One pass over the corpus: (syms: array<string>, wt: long) — each
     distinct word split to characters + EOW, weighted by corpus count.
     This is the only corpus-sized job in BPE training."""
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     # _spread: a single-file corpus arrives as ONE scan partition and the
     # regexp tokenize + explode would run serially (dedup.py's small-file
     # guard — this pass dominated bpe_train at sf1.0: 7.7 s on one core)
     wf = (
-        _spread(docs.select(F.col(text_col)))
+        _spread(docs.select(F.col(text_col)), min_bytes=SPREAD_MIN_SCAN_BYTES)
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wt"))
@@ -270,12 +270,12 @@ def bpe_encode(
     worker, no shuffle — embarrassingly parallel over documents). The
     merge table is vocabulary-sized driver state (tens to thousands of
     rows), never data-sized."""
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     # _spread: the per-word nested merge folds are the heaviest
     # expression tree in the repo — a single-file corpus would evaluate
     # them all on one core (dedup.py's small-file guard)
-    docs = _spread(docs.select(id_col, text_col))
+    docs = _spread(docs.select(id_col, text_col), min_bytes=SPREAD_MIN_SCAN_BYTES)
     syms = F.transform(
         tokens(F.col(text_col)),
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),

@@ -53,16 +53,48 @@ def release_caches() -> None:
             pass
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Small-file guard: a sub-128MB parquet input arrives as ONE
     partition and serializes every downstream expression onto one core
     (the sf0.1 bench read 5000 docs as a single task). Spread the input
     across the cluster's cores before the expression-heavy stages; the
-    shuffle moves only the raw rows once. Unconditional — probing the
-    current partition count via df.rdd builds an RDD plan per invocation
-    (VERDICT r2), and AQE coalesces the shuffle back down when the input
-    is already wide."""
+    shuffle moves only the raw rows once. Unconditional by default —
+    probing the current partition count via df.rdd builds an RDD plan
+    per invocation (VERDICT r2), and AQE coalesces the shuffle back
+    down when the input is already wide.
+
+    ``min_bytes`` (opt-in, for RAW-SCAN inputs only): skip the
+    repartition when Catalyst's optimized-plan size estimate is below
+    the threshold — at kilobyte scale the fixed shuffle+stage cost
+    (~0.3–0.5 s) exceeds anything the parallelized expression work can
+    save, while at megabyte scale the serial scan dominates. The
+    estimate is driver-side (no job) and exact for plain parquet scans;
+    call sites with opaque upstream plans (UDF outputs, unions) must
+    keep the default 0 — their estimates are unreliable and a wrongly
+    skipped spread serializes the whole stage."""
+    if min_bytes:
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            if 0 <= est < min_bytes:
+                return df
+        except Exception:
+            pass
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# raw-scan spread threshold (on Catalyst's COLUMN-PRUNED scan
+# estimate): ~1 MB of compressed text ≈ the point where one-core
+# tokenization (~1-2 s) overtakes the fixed repartition cost; below it
+# the spread is pure overhead. The sandbox corpora probe at ~0.2 MB
+# (sf0.1 — skip) and ~2 MB (sf1.0 — spread), 2-5x margins either way.
+SPREAD_MIN_SCAN_BYTES = 1 << 20
 
 
 def text_shingles(text: Column, n: int = 3) -> Column:

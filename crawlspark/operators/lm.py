@@ -60,7 +60,7 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Train the corpus bigram LM and score every document; returns
     (id, n_bigrams, cross_entropy, perplexity)."""
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     release_caches()
     # _spread: a single-file corpus arrives as ONE scan partition and the
@@ -68,7 +68,7 @@ def bigram_lm_scores(
     # persist the bigram explode: it feeds BOTH the model aggregate and
     # the scoring join — without the cache the corpus tokenizes and
     # explodes twice (the regexp tokenize is the dominant per-row work)
-    docs = _spread(docs.select(id_col, text_col))
+    docs = _spread(docs.select(id_col, text_col), min_bytes=SPREAD_MIN_SCAN_BYTES)
     bg = _persist(_doc_bigrams(docs, text_col, id_col))
     cab = bg.groupBy("bg").agg(F.count("*").alias("cab"))
     ca = (

@@ -243,7 +243,7 @@ def dsir_weights(
     """
     B = int(n_buckets)
 
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     # fused Arrow featurizer (guide §4.2): tokenize, build the
     # unigram+bigram feature strings, and hash them to buckets in ONE
@@ -281,8 +281,10 @@ def dsir_weights(
         # _spread: a single-file corpus otherwise tokenizes+hashes on
         # ONE core (dedup.py's small-file guard, same hazard here)
         return (
-            _spread(df.select(F.col(id_col).alias("doc_id"), text_col))
-            .select("doc_id", F.explode(_buckets(F.col(text_col))).alias("b"))
+            _spread(
+                df.select(F.col(id_col).alias("doc_id"), text_col),
+                min_bytes=SPREAD_MIN_SCAN_BYTES,
+            ).select("doc_id", F.explode(_buckets(F.col(text_col))).alias("b"))
         )
 
     release_caches()

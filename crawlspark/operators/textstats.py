@@ -42,7 +42,7 @@ def tfidf_topk(
     cannot flip ranks); ties break on the term string. Returns
     (doc_id, term, score, rk).
     """
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     release_caches()
     n_docs = docs.select(id_col).distinct().count()
@@ -51,7 +51,7 @@ def tfidf_topk(
     # df aggregate and the scoring join (the tokenize+explode would
     # otherwise run twice)
     tf = _persist(
-        _spread(docs.select(id_col, text_col))
+        _spread(docs.select(id_col, text_col), min_bytes=SPREAD_MIN_SCAN_BYTES)
         .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -312,10 +312,10 @@ def chunk_documents(
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
-    from crawlspark.operators.dedup import _spread
+    from crawlspark.operators.dedup import SPREAD_MIN_SCAN_BYTES, _spread
 
     # _spread: single-file corpora otherwise tokenize+explode on one core
-    df = _spread(df.select(id_col, text_col))
+    df = _spread(df.select(id_col, text_col), min_bytes=SPREAD_MIN_SCAN_BYTES)
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     base = df.select(
